@@ -1,0 +1,91 @@
+package fsstspark.util
+
+import java.nio.ByteOrder
+import org.apache.spark.unsafe.Platform
+
+/** Little-endian byte-array primitives shared by all codecs.
+  *
+  * Unaligned 8-byte loads/stores are the backbone of the FSST kernels
+  * (cf. /root/reference/symbol.go:44 `fsstUnalignedLoad`). We use Spark's
+  * `Platform` static accessors (spark-unsafe), which JIT to single MOVs —
+  * the signature-polymorphic `VarHandle` path boxes through scalac and was
+  * measured ~30× slower. Platform reads in native byte order, so we guard
+  * for little-endian hardware (true for every supported Spark target).
+  */
+object Bytes {
+  require(ByteOrder.nativeOrder() == ByteOrder.LITTLE_ENDIAN,
+    "fsstspark requires a little-endian platform")
+
+  @inline def getLongLE(b: Array[Byte], i: Int): Long =
+    Platform.getLong(b, Platform.BYTE_ARRAY_OFFSET + i)
+
+  @inline def putLongLE(b: Array[Byte], i: Int, v: Long): Unit =
+    Platform.putLong(b, Platform.BYTE_ARRAY_OFFSET + i, v)
+
+  /** Load up to `len` (1..8) bytes little-endian without reading past the end. */
+  def getPartialLE(b: Array[Byte], i: Int, len: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < len) { v |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+    v
+  }
+}
+
+/** Growable byte buffer with varint support (avoids java.io streams in hot paths). */
+final class ByteArrayBuilder(initialCapacity: Int = 64) {
+  private var buf = new Array[Byte](math.max(initialCapacity, 16))
+  private var len = 0
+
+  def length: Int = len
+  def raw: Array[Byte] = buf
+
+  def ensure(extra: Int): Unit = {
+    if (len + extra > buf.length) {
+      var cap = buf.length * 2
+      while (cap < len + extra) cap *= 2
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+  }
+
+  def addByte(v: Int): Unit = { ensure(1); buf(len) = v.toByte; len += 1 }
+
+  def addBytes(src: Array[Byte], off: Int, n: Int): Unit = {
+    ensure(n); System.arraycopy(src, off, buf, len, n); len += n
+  }
+  def addBytes(src: Array[Byte]): Unit = addBytes(src, 0, src.length)
+
+  /** Unsigned LEB128. */
+  def addVarLong(v0: Long): Unit = {
+    var v = v0
+    ensure(10)
+    while ((v & ~0x7fL) != 0) { buf(len) = ((v & 0x7f) | 0x80).toByte; len += 1; v >>>= 7 }
+    buf(len) = v.toByte; len += 1
+  }
+  def addVarInt(v: Int): Unit = addVarLong(v.toLong & 0xffffffffL)
+
+  /** Zig-zag signed varint. */
+  def addZigZagLong(v: Long): Unit = addVarLong((v << 1) ^ (v >> 63))
+
+  /** Reserve n bytes and return the start offset (caller fills via raw). */
+  def reserve(n: Int): Int = { ensure(n); val p = len; len += n; p }
+  def setLength(n: Int): Unit = { len = n }
+
+  def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+}
+
+/** Cursor for reading the formats written by [[ByteArrayBuilder]]. */
+final class ByteReader(val buf: Array[Byte], var pos: Int = 0) {
+  def readByte(): Int = { val v = buf(pos) & 0xff; pos += 1; v }
+  def readVarLong(): Long = {
+    var v = 0L; var shift = 0
+    var b = buf(pos) & 0xff; pos += 1
+    while ((b & 0x80) != 0) { v |= (b & 0x7fL) << shift; shift += 7; b = buf(pos) & 0xff; pos += 1 }
+    v | ((b & 0x7fL) << shift)
+  }
+  def readVarInt(): Int = readVarLong().toInt
+  def readZigZagLong(): Long = { val v = readVarLong(); (v >>> 1) ^ -(v & 1) }
+  def readBytes(n: Int): Array[Byte] = {
+    val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
+  }
+  def remaining: Int = buf.length - pos
+}
