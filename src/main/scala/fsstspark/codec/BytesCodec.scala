@@ -1,0 +1,314 @@
+package fsstspark.codec
+
+import fsstspark.codec.fsst.{Fsst, FsstTrainer, SymbolTable}
+import fsstspark.util.{BitPacker, ByteArrayBuilder, ByteReader}
+import scala.collection.mutable
+
+/** Per-column-chunk encodings for string/binary columns.
+  *
+  * Blob layout (self-describing, little-endian varints):
+  *   [codecId: u8] [nValues: varint] [codec payload]
+  *
+  * Null handling: value lengths are stored as varint(len+1) with 0 = NULL
+  * (dict uses a reserved index). All codecs round-trip `null` entries.
+  *
+  * Codec ids: 0=RAW, 1=FSST, 2=DICT, 3=RLE. The auto-selector
+  * ([[BytesCodec.encodeAuto]]) implements SURVEY.md N6: it computes
+  * chunk statistics in one pass and picks the codec with the smallest
+  * estimated footprint — with RAW as the universal fallback, which
+  * guarantees output ≤ input + O(n) framing even on incompressible data.
+  */
+object BytesCodec {
+  final val RAW = 0
+  final val FSST = 1
+  final val DICT = 2
+  final val RLE = 3
+
+  val names: Map[Int, String] = Map(RAW -> "raw", FSST -> "fsst", DICT -> "dict", RLE -> "rle")
+
+  // ---------------------------------------------------------------- encode
+
+  def encodeRaw(values: Array[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayBuilder(totalBytes(values).toInt + values.length * 2 + 16)
+    out.addByte(RAW)
+    out.addVarInt(values.length)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      if (v == null) out.addVarInt(0)
+      else { out.addVarInt(v.length + 1); out.addBytes(v) }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** FSST payload: [tableLen][table][totalOrigBytes][varint(encLen+1) per
+    * value][concatenated encoded bytes]. One shared symbol table per chunk,
+    * trained on the chunk's own deterministic sample.
+    */
+  def encodeFsst(values: Array[Array[Byte]]): Array[Byte] = {
+    val table = FsstTrainer.train(values.filter(_ != null))
+    encodeFsstWith(values, table)
+  }
+
+  def encodeFsstWith(values: Array[Array[Byte]], table: SymbolTable): Array[Byte] = {
+    val enc = table.newEncoder()
+    val tBytes = table.serialize()
+    val orig = totalBytes(values)
+    val out = new ByteArrayBuilder(orig.toInt / 2 + values.length + tBytes.length + 32)
+    out.addByte(FSST)
+    out.addVarInt(values.length)
+    out.addVarInt(tBytes.length)
+    out.addBytes(tBytes)
+    out.addVarLong(orig)
+    // encode every value into one scratch, recording lengths
+    val lens = new Array[Int](values.length)
+    val data = new ByteArrayBuilder(orig.toInt / 2 + 64)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      if (v != null) {
+        data.ensure(Fsst.maxEncodedSize(v.length))
+        val n0 = data.length
+        val n1 = enc.encode(v, 0, v.length, data.raw, n0)
+        data.setLength(n1)
+        lens(i) = n1 - n0
+      }
+      i += 1
+    }
+    i = 0
+    while (i < values.length) {
+      if (values(i) == null) out.addVarInt(0) else out.addVarInt(lens(i) + 1)
+      i += 1
+    }
+    out.addBytes(data.raw, 0, data.length)
+    out.result()
+  }
+
+  /** DICT payload: [nDict][dict entry lens+bytes][width u8][packed indices];
+    * null = reserved index nDict.
+    */
+  def encodeDict(values: Array[Array[Byte]]): Array[Byte] = {
+    val index = mutable.LinkedHashMap.empty[ByteKey, Int]
+    val ids = new Array[Long](values.length)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      if (v == null) ids(i) = -1
+      else {
+        val k = new ByteKey(v)
+        ids(i) = index.getOrElseUpdate(k, index.size).toLong
+      }
+      i += 1
+    }
+    val nDict = index.size
+    i = 0
+    while (i < values.length) { if (ids(i) < 0) ids(i) = nDict; i += 1 }
+    val out = new ByteArrayBuilder(64)
+    out.addByte(DICT)
+    out.addVarInt(values.length)
+    out.addVarInt(nDict)
+    index.keysIterator.foreach { k => out.addVarInt(k.bytes.length); out.addBytes(k.bytes) }
+    val width = BitPacker.widthFor(nDict.toLong) // nDict = null sentinel must fit
+    out.addByte(width)
+    BitPacker.pack(ids, values.length, width, out)
+    out.result()
+  }
+
+  /** RLE payload: runs of [runLen][varint(len+1)][bytes]. */
+  def encodeRle(values: Array[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayBuilder(64)
+    out.addByte(RLE)
+    out.addVarInt(values.length)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      var j = i + 1
+      while (j < values.length && sameValue(values(j), v)) j += 1
+      out.addVarInt(j - i)
+      if (v == null) out.addVarInt(0)
+      else { out.addVarInt(v.length + 1); out.addBytes(v) }
+      i = j
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  def decode(blob: Array[Byte]): Array[Array[Byte]] = {
+    val r = new ByteReader(blob)
+    val codec = r.readByte()
+    val n = r.readVarInt()
+    val out = new Array[Array[Byte]](n)
+    codec match {
+      case RAW =>
+        var i = 0
+        while (i < n) {
+          val l = r.readVarInt()
+          if (l > 0) out(i) = r.readBytes(l - 1)
+          i += 1
+        }
+      case FSST =>
+        val tLen = r.readVarInt()
+        val table = SymbolTable.deserialize(r.readBytes(tLen))
+        val orig = r.readVarLong()
+        val lens = new Array[Int](n)
+        var i = 0
+        while (i < n) { lens(i) = r.readVarInt(); i += 1 }
+        val dec = table.newDecoder()
+        // decode all values into one buffer, then slice (one alloc per value
+        // is unavoidable given the Array[Array[Byte]] contract)
+        val buf = new Array[Byte](orig.toInt + 8)
+        var sp = r.pos
+        i = 0
+        var dp = 0
+        while (i < n) {
+          if (lens(i) > 0) {
+            val encLen = lens(i) - 1
+            val dEnd = dec.decode(blob, sp, encLen, buf, dp)
+            out(i) = java.util.Arrays.copyOfRange(buf, dp, dEnd)
+            dp = dEnd
+            sp += encLen
+          }
+          i += 1
+        }
+      case DICT =>
+        val nDict = r.readVarInt()
+        val dict = new Array[Array[Byte]](nDict)
+        var i = 0
+        while (i < nDict) { val l = r.readVarInt(); dict(i) = r.readBytes(l); i += 1 }
+        val width = r.readByte()
+        val ids = new Array[Long](n)
+        BitPacker.unpack(blob, r.pos, n, width, ids)
+        i = 0
+        while (i < n) {
+          val id = ids(i).toInt
+          if (id < nDict) out(i) = dict(id)
+          i += 1
+        }
+      case RLE =>
+        var i = 0
+        while (i < n) {
+          val runLen = r.readVarInt()
+          val l = r.readVarInt()
+          val v = if (l > 0) r.readBytes(l - 1) else null
+          var k = 0
+          while (k < runLen) { out(i + k) = v; k += 1 }
+          i += runLen
+        }
+      case other => throw new IllegalArgumentException(s"unknown bytes codec id $other")
+    }
+    out
+  }
+
+  // -------------------------------------------------------------- selector
+
+  /** Chunk statistics for codec selection, one pass (SURVEY.md N5/N6). */
+  final case class Stats(
+      n: Int,
+      nNulls: Int,
+      totalBytes: Long,
+      nRuns: Int,
+      distinct: Int, // capped at DistinctCap
+      distinctBytes: Long,
+      distinctCapped: Boolean
+  )
+
+  final val DistinctCap = 4096
+
+  def stats(values: Array[Array[Byte]]): Stats = {
+    var nulls = 0
+    var total = 0L
+    var runs = 0
+    var dBytes = 0L
+    val seen = mutable.HashSet.empty[ByteKey]
+    var capped = false
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      if (v == null) nulls += 1 else total += v.length
+      if (i == 0 || !sameValue(v, values(i - 1))) runs += 1
+      if (v != null && !capped) {
+        val k = new ByteKey(v)
+        if (seen.add(k)) {
+          dBytes += v.length
+          if (seen.size >= DistinctCap) capped = true
+        }
+      }
+      i += 1
+    }
+    Stats(values.length, nulls, total, runs, seen.size, dBytes, capped)
+  }
+
+  /** Estimated blob sizes for the structural codecs (no training needed). */
+  def structuralEstimates(s: Stats): Map[Int, Long] = {
+    val avgLen = s.totalBytes / math.max(s.n - s.nNulls, 1)
+    val est = mutable.Map.empty[Int, Long]
+    est(RAW) = s.totalBytes + 2L * s.n + 8
+    est(RLE) = s.nRuns.toLong * (3 + avgLen) + 8
+    if (!s.distinctCapped) {
+      val width = BitPacker.widthFor(s.distinct.toLong)
+      est(DICT) = s.distinctBytes + 2L * s.distinct + BitPacker.packedSize(s.n, width) + 16
+    }
+    est.toMap
+  }
+
+  final case class Encoded(codec: Int, blob: Array[Byte], bytesIn: Long)
+
+  /** N6 cost-model auto-selection, deterministic; ties break toward the
+    * smaller codec id. FSST is estimated by training one table on the
+    * chunk's deterministic sample (the table is reused for the real encode
+    * when FSST wins); training is skipped when a structural codec is
+    * already beyond FSST's theoretical best (8:1) or values are tiny.
+    */
+  def encodeAuto(values: Array[Array[Byte]]): Encoded = {
+    val s = stats(values)
+    val est = mutable.Map.empty[Int, Long] ++ structuralEstimates(s)
+    val bestStructural = est.values.min
+    val avgLen = s.totalBytes.toDouble / math.max(s.n - s.nNulls, 1)
+    var table: SymbolTable = null
+    if (avgLen >= 4 && bestStructural > s.totalBytes / 8) {
+      val nonNull = if (s.nNulls == 0) values else values.filter(_ != null)
+      table = FsstTrainer.train(nonNull)
+      val enc = table.newEncoder()
+      val sample = FsstTrainer.makeSample(nonNull)
+      var sIn = 0L
+      var sOut = 0L
+      sample.foreach { v => sIn += v.length; sOut += enc.encodeAll(v).length }
+      val ratio = if (sIn == 0) 1.0 else sOut.toDouble / sIn
+      est(FSST) = table.serialize().length.toLong + (ratio * s.totalBytes).toLong + s.n + 16
+    }
+    val chosen = est.toSeq.minBy { case (id, sz) => (sz, id) }._1
+    val blob = chosen match {
+      case RAW => encodeRaw(values)
+      case FSST => encodeFsstWith(values, table)
+      case DICT => encodeDict(values)
+      case RLE => encodeRle(values)
+    }
+    // raw-store guarantee: never ship a blob bigger than raw framing
+    val rawSize = s.totalBytes + 2L * s.n + 8
+    if (chosen != RAW && blob.length > rawSize) Encoded(RAW, encodeRaw(values), s.totalBytes)
+    else Encoded(chosen, blob, s.totalBytes)
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def totalBytes(values: Array[Array[Byte]]): Long = {
+    var t = 0L
+    var i = 0
+    while (i < values.length) { if (values(i) != null) t += values(i).length; i += 1 }
+    t
+  }
+
+  @inline private def sameValue(a: Array[Byte], b: Array[Byte]): Boolean =
+    (a eq b) || (a != null && b != null && java.util.Arrays.equals(a, b))
+
+  /** Array[Byte] wrapper with value equality, for dict/distinct maps. */
+  final class ByteKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: ByteKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+}

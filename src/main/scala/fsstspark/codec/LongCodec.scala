@@ -1,0 +1,276 @@
+package fsstspark.codec
+
+import fsstspark.util.{BitPacker, ByteArrayBuilder, ByteReader, Bytes}
+
+/** Per-column-chunk encodings for integer-like columns (int64, int32
+  * widened, timestamps as epoch micros, doubles via raw bits).
+  *
+  * Blob layout: [codecId u8][nValues varint][hasNulls u8][null bitmap if
+  * hasNulls: ceil(n/8) bytes, bit i set = value present][payload over the
+  * non-null values].
+  *
+  * Codec ids: 16=RAW (8B LE each), 17=FOR (frame-of-reference: zigzag min +
+  * bit-packed deltas), 18=BITPACK (non-negative values packed directly),
+  * 19=RLE (runs of [runLen varint][zigzag value]), 20=DELTA (zigzag first +
+  * FoR over consecutive differences — sorted ids/timestamps).
+  */
+object LongCodec {
+  final val RAW = 16
+  final val FOR = 17
+  final val BITPACK = 18
+  final val RLE = 19
+  final val DELTA = 20
+
+  val names: Map[Int, String] =
+    Map(RAW -> "raw8", FOR -> "for", BITPACK -> "bitpack", RLE -> "rle_long", DELTA -> "delta")
+
+  /** values + nulls mask (nulls(i) = true means NULL; values(i) then ignored). */
+  final case class LongColumn(values: Array[Long], nulls: Array[Boolean]) {
+    def n: Int = values.length
+    def nonNullCount: Int = {
+      var c = 0; var i = 0
+      while (i < nulls.length) { if (!nulls(i)) c += 1; i += 1 }
+      c
+    }
+  }
+
+  private def header(out: ByteArrayBuilder, id: Int, col: LongColumn): Array[Long] = {
+    out.addByte(id)
+    out.addVarInt(col.n)
+    var hasNulls = false
+    var i = 0
+    while (i < col.n && !hasNulls) { hasNulls = col.nulls(i); i += 1 }
+    out.addByte(if (hasNulls) 1 else 0)
+    if (hasNulls) {
+      val bitmapLen = (col.n + 7) / 8
+      val p = out.reserve(bitmapLen)
+      java.util.Arrays.fill(out.raw, p, p + bitmapLen, 0.toByte)
+      i = 0
+      while (i < col.n) {
+        if (!col.nulls(i)) out.raw(p + (i >> 3)) = (out.raw(p + (i >> 3)) | (1 << (i & 7))).toByte
+        i += 1
+      }
+    }
+    // compact non-null values
+    val nn = col.nonNullCount
+    if (nn == col.n) col.values
+    else {
+      val v = new Array[Long](nn)
+      var k = 0
+      i = 0
+      while (i < col.n) { if (!col.nulls(i)) { v(k) = col.values(i); k += 1 }; i += 1 }
+      v
+    }
+  }
+
+  def encodeRaw(col: LongColumn): Array[Byte] = {
+    val out = new ByteArrayBuilder(col.n * 8 + 16)
+    val v = header(out, RAW, col)
+    BitPacker.pack(v, v.length, 64, out)
+    out.result()
+  }
+
+  def encodeFor(col: LongColumn): Array[Byte] = {
+    val out = new ByteArrayBuilder(64)
+    val v = header(out, FOR, col)
+    var mn = if (v.nonEmpty) v(0) else 0L
+    var mx = mn
+    var i = 1
+    while (i < v.length) { if (v(i) < mn) mn = v(i); if (v(i) > mx) mx = v(i); i += 1 }
+    out.addZigZagLong(mn)
+    val width = widthForRange(mn, mx)
+    out.addByte(width)
+    val deltas = new Array[Long](v.length)
+    i = 0
+    while (i < v.length) { deltas(i) = v(i) - mn; i += 1 }
+    BitPacker.pack(deltas, deltas.length, width, out)
+    out.result()
+  }
+
+  def encodeBitpack(col: LongColumn): Array[Byte] = {
+    val out = new ByteArrayBuilder(64)
+    val v = header(out, BITPACK, col)
+    var mx = 0L
+    var i = 0
+    while (i < v.length) { require(v(i) >= 0, "BITPACK requires non-negative values"); if (v(i) > mx) mx = v(i); i += 1 }
+    val width = BitPacker.widthFor(mx)
+    out.addByte(width)
+    BitPacker.pack(v, v.length, width, out)
+    out.result()
+  }
+
+  def encodeRle(col: LongColumn): Array[Byte] = {
+    val out = new ByteArrayBuilder(64)
+    out.addByte(RLE)
+    out.addVarInt(col.n)
+    out.addByte(0) // RLE encodes nulls as run tokens, not a bitmap
+    var i = 0
+    while (i < col.n) {
+      var j = i + 1
+      while (j < col.n && col.nulls(j) == col.nulls(i) && (col.nulls(i) || col.values(j) == col.values(i))) j += 1
+      out.addVarInt(j - i)
+      if (col.nulls(i)) out.addByte(0)
+      else { out.addByte(1); out.addZigZagLong(col.values(i)) }
+      i = j
+    }
+    out.result()
+  }
+
+  /** First value zigzag + FoR over consecutive deltas (monotone sequences
+    * like sorted keys or event timestamps pack to a few bits per value).
+    */
+  def encodeDelta(col: LongColumn): Array[Byte] = {
+    val out = new ByteArrayBuilder(64)
+    val v = header(out, DELTA, col)
+    out.addZigZagLong(if (v.nonEmpty) v(0) else 0L)
+    val d = new Array[Long](math.max(v.length - 1, 0))
+    var mn = 0L
+    var mx = 0L
+    var i = 1
+    while (i < v.length) {
+      d(i - 1) = v(i) - v(i - 1)
+      if (i == 1) { mn = d(0); mx = d(0) }
+      else { if (d(i - 1) < mn) mn = d(i - 1); if (d(i - 1) > mx) mx = d(i - 1) }
+      i += 1
+    }
+    out.addZigZagLong(mn)
+    val width = widthForRange(mn, mx)
+    out.addByte(width)
+    i = 0
+    while (i < d.length) { d(i) -= mn; i += 1 }
+    BitPacker.pack(d, d.length, width, out)
+    out.result()
+  }
+
+  def decode(blob: Array[Byte]): LongColumn = {
+    val r = new ByteReader(blob)
+    val codec = r.readByte()
+    val n = r.readVarInt()
+    val values = new Array[Long](n)
+    val nulls = new Array[Boolean](n)
+    if (codec == RLE) {
+      r.readByte() // hasNulls placeholder
+      var i = 0
+      while (i < n) {
+        val runLen = r.readVarInt()
+        val flag = r.readByte()
+        val v = if (flag == 1) r.readZigZagLong() else 0L
+        var k = 0
+        while (k < runLen) {
+          nulls(i + k) = flag == 0
+          values(i + k) = v
+          k += 1
+        }
+        i += runLen
+      }
+      return LongColumn(values, nulls)
+    }
+    val hasNulls = r.readByte() == 1
+    var nn = n
+    if (hasNulls) {
+      val bitmapLen = (n + 7) / 8
+      val bm = r.pos
+      nn = 0
+      var i = 0
+      while (i < n) {
+        val present = (blob(bm + (i >> 3)) & (1 << (i & 7))) != 0
+        nulls(i) = !present
+        if (present) nn += 1
+        i += 1
+      }
+      r.pos += bitmapLen
+    }
+    val packed = new Array[Long](nn)
+    codec match {
+      case RAW =>
+        BitPacker.unpack(blob, r.pos, nn, 64, packed)
+      case FOR =>
+        val mn = r.readZigZagLong()
+        val width = r.readByte()
+        BitPacker.unpack(blob, r.pos, nn, width, packed)
+        var i = 0
+        while (i < nn) { packed(i) += mn; i += 1 }
+      case BITPACK =>
+        val width = r.readByte()
+        BitPacker.unpack(blob, r.pos, nn, width, packed)
+      case DELTA =>
+        val first = r.readZigZagLong()
+        val mn = r.readZigZagLong()
+        val width = r.readByte()
+        if (nn > 0) {
+          val d = new Array[Long](nn - 1)
+          BitPacker.unpack(blob, r.pos, nn - 1, width, d)
+          packed(0) = first
+          var i = 1
+          while (i < nn) { packed(i) = packed(i - 1) + d(i - 1) + mn; i += 1 }
+        }
+      case other => throw new IllegalArgumentException(s"unknown long codec id $other")
+    }
+    // scatter back over nulls
+    if (hasNulls) {
+      var i = 0
+      var k = 0
+      while (i < n) { if (!nulls(i)) { values(i) = packed(k); k += 1 }; i += 1 }
+    } else System.arraycopy(packed, 0, values, 0, n)
+    LongColumn(values, nulls)
+  }
+
+  final case class Encoded(codec: Int, blob: Array[Byte], bytesIn: Long)
+
+  /** Deterministic cost-model selection across RAW/FOR/BITPACK/RLE/DELTA. */
+  def encodeAuto(col: LongColumn): Encoded = {
+    val bytesIn = col.n.toLong * 8
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var runs = 0
+    var nn = 0
+    var deltaMn = Long.MaxValue
+    var deltaMx = Long.MinValue
+    var prev = 0L
+    var havePrev = false
+    var i = 0
+    while (i < col.n) {
+      if (!col.nulls(i)) {
+        val v = col.values(i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (havePrev) {
+          val d = v - prev
+          if (d < deltaMn) deltaMn = d
+          if (d > deltaMx) deltaMx = d
+        }
+        prev = v; havePrev = true
+        nn += 1
+      }
+      if (i == 0 || col.nulls(i) != col.nulls(i - 1) ||
+          (!col.nulls(i) && col.values(i) != col.values(i - 1))) runs += 1
+      i += 1
+    }
+    if (nn == 0) { mn = 0; mx = 0 }
+    if (nn <= 1) { deltaMn = 0; deltaMx = 0 }
+    val bitmapCost = if (nn < col.n) (col.n + 7) / 8 else 0
+    val est = scala.collection.mutable.Map.empty[Int, Long]
+    est(RAW) = 8L * nn + bitmapCost + 8
+    est(FOR) = BitPacker.packedSize(nn, widthForRange(mn, mx)) + bitmapCost + 16
+    if (nn == 0 || mn >= 0)
+      est(BITPACK) = BitPacker.packedSize(nn, BitPacker.widthFor(math.max(mx, 0))) + bitmapCost + 12
+    est(RLE) = runs.toLong * 6 + 8
+    est(DELTA) = BitPacker.packedSize(math.max(nn - 1, 0), widthForRange(deltaMn, deltaMx)) + bitmapCost + 24
+    val chosen = est.toSeq.minBy { case (id, sz) => (sz, id) }._1
+    val blob = chosen match {
+      case RAW => encodeRaw(col)
+      case FOR => encodeFor(col)
+      case BITPACK => encodeBitpack(col)
+      case RLE => encodeRle(col)
+      case DELTA => encodeDelta(col)
+    }
+    Encoded(chosen, blob, bytesIn)
+  }
+
+  /** Bit width for values in [mn, mx] after subtracting mn, overflow-safe. */
+  private def widthForRange(mn: Long, mx: Long): Int = {
+    val range = mx - mn
+    if (range < 0) 64 // overflow: range spans > 2^63
+    else BitPacker.widthFor(range)
+  }
+}

@@ -56,7 +56,7 @@ object FsstTrainer {
   /** Deterministic pseudo-random sample of ≤512-byte slices totalling ≤32 KB
     * (target 16 KB); inputs totalling <16 KB pass through unsampled.
     */
-  private[fsst] def makeSample(inputs: Array[Array[Byte]]): Array[Array[Byte]] = {
+  private[fsstspark] def makeSample(inputs: Array[Array[Byte]]): Array[Array[Byte]] = {
     var total = 0L
     var i = 0
     while (i < inputs.length) { total += inputs(i).length; i += 1 }

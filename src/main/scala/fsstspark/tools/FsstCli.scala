@@ -8,12 +8,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * like the reference's corpus tests), encodes+decodes every line, verifies
   * bit-identity, and prints table/size/throughput metrics.
   *
-  * Usage: runMain fsstspark.tools.FsstCli <file> [--whole]
+  * Usage: runMain fsstspark.tools.FsstCli <file> [--whole] [--auto] [--repeat N]
   *   --whole  treat the file as a single value instead of line-split
+  *   --auto   run the full chunk codec with auto-selection instead of raw FSST
   */
 object FsstCli {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: FsstCli <file> [--whole]"); sys.exit(2) }
+    if (args.isEmpty) { System.err.println("usage: FsstCli <file> [--whole] [--auto]"); sys.exit(2) }
+    if (args.contains("--auto")) { runAuto(args); return }
     val path = Paths.get(args(0))
     if (!Files.exists(path)) { System.err.println(s"error: no such file: ${args(0)}"); sys.exit(2) }
     val raw = Files.readAllBytes(path)
@@ -85,6 +87,32 @@ object FsstCli {
     println(f"table: n_symbols=${table.nSymbols} suffix_lim=${table.suffixLim} serialized=${tableBytes.length}B")
     println(f"ratio=${bytesOut.toDouble / math.max(bytesIn, 1)}%.4f (compressed/original, excl. table)")
     println(f"train=${tTrain / 1e6}%.1f ms  encode=${mbps(bytesIn, tEnc)}%.1f MB/s  decode=${mbps(bytesIn, tDec)}%.1f MB/s (single thread, last of $repeat reps)")
+    println(s"roundtrip_mismatches=$mismatches")
+    if (mismatches > 0) sys.exit(1)
+  }
+
+  /** Chunk-codec surface: auto-select a codec for the file's lines, report
+    * choice + sizes, verify decode bit-identity.
+    */
+  private def runAuto(args: Array[String]): Unit = {
+    import fsstspark.codec.BytesCodec
+    val raw = Files.readAllBytes(Paths.get(args(0)))
+    val values: Array[Array[Byte]] =
+      if (args.contains("--whole")) Array(raw)
+      else new String(raw, UTF_8).split("\n", -1).map(_.getBytes(UTF_8))
+    val t0 = System.nanoTime()
+    val e = BytesCodec.encodeAuto(values)
+    val tEnc = System.nanoTime() - t0
+    val t1 = System.nanoTime()
+    val back = BytesCodec.decode(e.blob)
+    val tDec = System.nanoTime() - t1
+    var mismatches = 0
+    values.indices.foreach { i =>
+      if (!java.util.Arrays.equals(back(i), values(i))) mismatches += 1
+    }
+    println(f"file=${args(0)} values=${values.length} codec=${BytesCodec.names(e.codec)}")
+    println(f"bytes_in=${e.bytesIn} blob=${e.blob.length} ratio=${e.blob.length.toDouble / math.max(e.bytesIn, 1)}%.4f")
+    println(f"encode=${tEnc / 1e6}%.1f ms decode=${tDec / 1e6}%.1f ms")
     println(s"roundtrip_mismatches=$mismatches")
     if (mismatches > 0) sys.exit(1)
   }

@@ -1,0 +1,141 @@
+package fsstspark.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+import fsstspark.util.{BitPacker, ByteArrayBuilder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+class CodecSpec extends AnyFunSuite {
+
+  private def bytesRoundtrip(values: Array[Array[Byte]], encode: Array[Array[Byte]] => Array[Byte]): Unit = {
+    val back = BytesCodec.decode(encode(values))
+    assert(back.length == values.length)
+    values.indices.foreach { i =>
+      if (values(i) == null) assert(back(i) == null, s"index $i expected null")
+      else assert(java.util.Arrays.equals(back(i), values(i)), s"index $i mismatch")
+    }
+  }
+
+  private val textValues: Array[Array[Byte]] =
+    (0 until 400).map(i => s"https://host-${i % 7}.example.com/path/$i?session=${i * 31}".getBytes(UTF_8)).toArray
+
+  private val withNulls: Array[Array[Byte]] =
+    (0 until 100).map(i => if (i % 7 == 0) null else s"value-$i".getBytes(UTF_8)).toArray
+
+  test("bytes: raw/fsst/dict/rle roundtrip incl. nulls and empties") {
+    val lowCard = (0 until 300).map(i => Seq("A", "N", "R")(i % 3).getBytes(UTF_8)).toArray
+    val runs = (0 until 300).map(i => (if (i < 150) "X" else "Y").getBytes(UTF_8)).toArray
+    val empties = Array("".getBytes(UTF_8), null, "".getBytes(UTF_8), "a".getBytes(UTF_8))
+    for (vs <- Seq(textValues, withNulls, lowCard, runs, empties)) {
+      bytesRoundtrip(vs, BytesCodec.encodeRaw)
+      bytesRoundtrip(vs, BytesCodec.encodeFsst)
+      bytesRoundtrip(vs, BytesCodec.encodeDict)
+      bytesRoundtrip(vs, BytesCodec.encodeRle)
+      bytesRoundtrip(vs, v => BytesCodec.encodeAuto(v).blob)
+    }
+  }
+
+  test("bytes selector: low-cardinality picks dict or rle, never fsst (FIXTURES l_returnflag)") {
+    val flags = (0 until 6000).map(i => Seq("A", "N", "R")(i * 2654435761L.toInt % 3 match {
+      case x if x < 0 => -x; case x => x
+    })).map(_.getBytes(UTF_8)).toArray
+    val e = BytesCodec.encodeAuto(flags)
+    assert(e.codec == BytesCodec.DICT || e.codec == BytesCodec.RLE, s"got ${e.codec}")
+    assert(e.blob.length < 6000) // ~2 bits/value + dict
+    bytesRoundtrip(flags, _ => e.blob)
+  }
+
+  test("bytes selector: natural text picks fsst and compresses") {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/testdata/art_of_war.txt")), UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.getBytes(UTF_8))
+    val e = BytesCodec.encodeAuto(lines)
+    assert(e.codec == BytesCodec.FSST, s"got ${BytesCodec.names(e.codec)}")
+    assert(e.blob.length < e.bytesIn, s"${e.blob.length} !< ${e.bytesIn}")
+    bytesRoundtrip(lines, _ => e.blob)
+  }
+
+  test("bytes selector: constant column picks rle") {
+    val c = Array.fill(10000)("same-value".getBytes(UTF_8))
+    val e = BytesCodec.encodeAuto(c)
+    assert(e.codec == BytesCodec.RLE, s"got ${BytesCodec.names(e.codec)}")
+    assert(e.blob.length < 100)
+  }
+
+  test("bytes selector: incompressible binary never exceeds raw framing") {
+    val rnd = new scala.util.Random(5)
+    val vs = Array.fill(50)(Array.tabulate[Byte](1000)(_ => rnd.nextInt(256).toByte))
+    val e = BytesCodec.encodeAuto(vs)
+    assert(e.blob.length <= e.bytesIn + 2 * vs.length + 9)
+    bytesRoundtrip(vs, _ => e.blob)
+  }
+
+  private def longRoundtrip(col: LongCodec.LongColumn, encode: LongCodec.LongColumn => Array[Byte]): Unit = {
+    val back = LongCodec.decode(encode(col))
+    assert(back.n == col.n)
+    (0 until col.n).foreach { i =>
+      assert(back.nulls(i) == col.nulls(i), s"null flag $i")
+      if (!col.nulls(i)) assert(back.values(i) == col.values(i), s"value $i")
+    }
+  }
+
+  private def mkCol(vs: Array[Long], nullEvery: Int = 0): LongCodec.LongColumn = {
+    val nulls = Array.tabulate(vs.length)(i => nullEvery > 0 && i % nullEvery == 0)
+    LongCodec.LongColumn(vs, nulls)
+  }
+
+  test("long: raw/for/bitpack/rle/delta roundtrip incl. nulls and extremes") {
+    val cases = Seq(
+      mkCol(Array.tabulate(1000)(i => 1700000000000000L + i * 1000L)), // timestamps
+      mkCol(Array.tabulate(1000)(i => 1700000000000000L + i * 1000L), 13),
+      mkCol(Array.tabulate(500)(i => (i % 5).toLong)),
+      mkCol(Array(Long.MinValue, Long.MaxValue, 0L, -1L, 1L)),
+      mkCol(Array.empty[Long]),
+      mkCol(Array.fill(100)(42L), 3),
+      mkCol(Array.tabulate(300)(i => -i * 7L), 7)
+    )
+    for (c <- cases) {
+      longRoundtrip(c, LongCodec.encodeRaw)
+      longRoundtrip(c, LongCodec.encodeFor)
+      longRoundtrip(c, LongCodec.encodeRle)
+      longRoundtrip(c, LongCodec.encodeDelta)
+      if ((0 until c.n).forall(i => c.nulls(i) || c.values(i) >= 0))
+        longRoundtrip(c, LongCodec.encodeBitpack)
+      longRoundtrip(c, v => LongCodec.encodeAuto(v).blob)
+    }
+  }
+
+  test("long selector: sorted timestamps pick delta and pack tiny (FIXTURES l_shipdate→FoR family)") {
+    val ts = mkCol(Array.tabulate(10000)(i => 1735689600000000L + i * 1000000L))
+    val e = LongCodec.encodeAuto(ts)
+    assert(e.codec == LongCodec.DELTA || e.codec == LongCodec.FOR || e.codec == LongCodec.RLE,
+      s"got ${LongCodec.names(e.codec)}")
+    assert(e.blob.length < e.bytesIn / 8, s"${e.blob.length} vs ${e.bytesIn}")
+    longRoundtrip(ts, _ => e.blob)
+  }
+
+  test("long selector: small non-negative ids pick a packed codec ≤ 2 bytes/value") {
+    val ids = mkCol(Array.tabulate(5000)(i => (i % 1000).toLong))
+    val e = LongCodec.encodeAuto(ids)
+    assert(e.blob.length <= 2 * 5000 + 32, s"${e.blob.length}")
+    longRoundtrip(ids, _ => e.blob)
+  }
+
+  test("bitpacker: widths 0..56 and 64 roundtrip") {
+    val rnd = new scala.util.Random(11)
+    for (w <- (0 to 56) ++ Seq(64)) {
+      val vs = Array.tabulate(257)(_ => if (w == 0) 0L else rnd.nextLong() & (if (w == 64) -1L else (1L << w) - 1))
+      val out = new ByteArrayBuilder()
+      BitPacker.pack(vs, vs.length, w, out)
+      assert(out.length == BitPacker.packedSize(vs.length, w))
+      val back = new Array[Long](vs.length)
+      BitPacker.unpack(out.result(), 0, vs.length, w, back)
+      assert(back.sameElements(vs), s"width $w")
+    }
+  }
+
+  test("codec determinism: same values → identical blob") {
+    val b1 = BytesCodec.encodeAuto(textValues)
+    val b2 = BytesCodec.encodeAuto(textValues)
+    assert(b1.codec == b2.codec && java.util.Arrays.equals(b1.blob, b2.blob))
+  }
+}
