@@ -1,0 +1,65 @@
+package fsstspark.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint / resume for the encode pipeline (SURVEY.md N9).
+  *
+  * Chunk results append to a Parquet checkpoint table ("Iceberg-shaped":
+  * partitioned files + explicit metadata columns, SURVEY.md §7.0 — no
+  * Iceberg runtime ships in this sandbox). Because chunk membership is a
+  * pure function of row keys, a rerun encodes exactly the chunks whose ids
+  * are absent from the checkpoint (`left_anti` join) and appending them
+  * yields the same table a single uninterrupted run would have produced —
+  * the resume-idempotence invariant.
+  */
+object Checkpoint {
+
+  def write(results: Dataset[ChunkResult], path: String): Unit =
+    results.write.mode(SaveMode.Append).parquet(path)
+
+  def read(spark: SparkSession, path: String): Dataset[ChunkResult] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[ChunkResult]
+  }
+
+  /** Distinct (chunk_id, column) pairs already present in the checkpoint. */
+  def completed(spark: SparkSession, path: String): DataFrame =
+    if (!exists(spark, path)) {
+      import spark.implicits._
+      Seq.empty[(Long, String)].toDF("chunk_id", "column")
+    } else spark.read.parquet(path).select("chunk_id", "column").distinct()
+
+  /** Encode only the chunks not yet checkpointed, and append them.
+    * Returns the number of chunks written this invocation.
+    */
+  def resumeBytes(
+      ds: Dataset[KV],
+      column: String,
+      chunkId: org.apache.spark.sql.Column,
+      path: String
+  ): Long = {
+    val spark = ds.sparkSession
+    val done = completed(spark, path).filter(col("column") === column)
+      .select(col("chunk_id").as("done_chunk_id"))
+    val pendingRows = ds
+      .withColumn("chunk_id", chunkId.cast("long"))
+      .join(broadcast(done), col("chunk_id") === col("done_chunk_id"), "left_anti")
+      .drop("chunk_id", "done_chunk_id")
+    import spark.implicits._
+    val pending = pendingRows.as[KV]
+    val results = EncodePipeline.encodeBytes(pending, column, chunkId)
+    // Persist so the count and the write observe the same encode pass.
+    results.persist()
+    val n = results.count()
+    if (n > 0) write(results, path)
+    results.unpersist()
+    n
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}

@@ -1,13 +1,108 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import fsstspark.queries.Queries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible query has a DuckDB oracle below (same column
+  * names + explicit BIGINT casts so the driver's sorted-column hash
+  * compare sees identical values). Codec-internal queries (blob sizes,
+  * codec choices, sketches) are deliberately oracle-free — the driver
+  * records a rows-only check and ScalaTest covers their semantics.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full encode→decode round-trip of documents.text with the
+    * codec auto-selector, reported per codec. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.pipeCodecMix(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core compression pipeline (SURVEY.md §2.1 R1-R15 + §2.2 N6-N10)
+    "pipe_roundtrip_text" -> (Queries.pipeRoundtripText _),
+    "pipe_verify_join" -> (Queries.pipeVerifyJoin _),
+    "pipe_resume_pending" -> (Queries.pipeResumePending _),
+    "pipe_codec_mix" -> (Queries.pipeCodecMix _),
+    // stats pass (N5)
+    "chunk_stats" -> (Queries.chunkStats _),
+    "chunk_profile" -> (Queries.chunkProfile _),
+    // integer codecs over events/lineitem (N2-N4)
+    "events_ts_roundtrip" -> (Queries.eventsTsRoundtrip _),
+    "lineitem_codec_selection" -> (Queries.lineitemCodecSelection _),
+    // relational coverage (SURVEY.md §2.3)
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_join_agg" -> (Queries.qJoinAgg _),
+    "q_topk_docs" -> (Queries.qTopkDocs _),
+    "q_window_runs" -> (Queries.qWindowRuns _),
+    // training-data ops
+    "dedup_exact" -> (Queries.dedupExact _),
+    "text_tokens" -> (Queries.textTokens _),
+    "text_quality" -> (Queries.textQuality _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_roundtrip_text" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "pipe_verify_join" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(0 AS BIGINT) AS n_mismatch
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "pipe_resume_pending" ->
+      """SELECT DISTINCT CAST(doc_id % 32 AS BIGINT) AS chunk_id
+         FROM documents WHERE (doc_id % 32) % 4 <> 0 ORDER BY chunk_id""",
+    "chunk_stats" ->
+      """SELECT CAST(doc_id % 32 AS BIGINT) AS chunk_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         CAST(max(strlen(text)) AS BIGINT) AS max_len,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "events_ts_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
+         CAST(count(DISTINCT epoch_us(ts)) AS BIGINT) AS n_distinct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+         CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
+         CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_join_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_price_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_topk_docs" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT 20""",
+    "q_window_runs" ->
+      """SELECT chunk_id, CAST(sum(CASE WHEN prev IS NULL OR prev <> lang
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+         FROM (SELECT CAST(doc_id % 32 AS BIGINT) AS chunk_id, lang,
+               lag(lang) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS prev
+               FROM documents)
+         GROUP BY chunk_id ORDER BY chunk_id""",
+    "dedup_exact" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "text_tokens" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "text_quality" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))) AS BIGINT) AS n_sentence_punct,
+         CAST(sum(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_whitespace
+         FROM documents GROUP BY lang ORDER BY lang"""
+  )
 }

@@ -1,0 +1,133 @@
+package fsstspark.pipeline
+
+import fsstspark.gen.PagesGen
+import fsstspark.queries.Queries
+import fsstspark.stats.ChunkStats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("fsstspark-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("encode→decode roundtrip is bit-identical per key (documents.text)") {
+    import spark.implicits._
+    val kv = Queries.docsKV(spark, sf)
+    val enc = EncodePipeline.encodeBytes(kv, "text", Queries.docChunk)
+    val dec = EncodePipeline.decodeBytes(enc)
+    val bad = EncodePipeline.verify(kv, dec).filter(!col("matched")).count()
+    assert(bad == 0)
+    assert(dec.count() == kv.count())
+  }
+
+  test("verify() detects a corrupted value") {
+    import spark.implicits._
+    val kv = Queries.docsKV(spark, sf)
+    val dec = EncodePipeline.decodeBytes(EncodePipeline.encodeBytes(kv, "text", Queries.docChunk))
+      .map { r => if (r.key == "7") KV(r.key, r.value :+ 0x21.toByte) else r }
+    assert(EncodePipeline.verify(kv, dec).filter(!col("matched")).count() == 1)
+  }
+
+  test("resume is idempotent: partial checkpoint completes to identical output") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString + "/chunks"
+    val kv = Queries.docsKV(spark, sf)
+    // first run: only chunks 0 mod 4 (simulated partial failure)
+    val partial = EncodePipeline.encodeBytes(
+      kv.filter(pmod(Queries.docChunk, lit(4)) === 0), "text", Queries.docChunk)
+    Checkpoint.write(partial, dir)
+    val before = Checkpoint.read(spark, dir).count()
+    // resume: encodes exactly the missing chunks
+    val n1 = Checkpoint.resumeBytes(kv, "text", Queries.docChunk, dir)
+    assert(n1 > 0)
+    // second resume: nothing to do
+    val n2 = Checkpoint.resumeBytes(kv, "text", Queries.docChunk, dir)
+    assert(n2 == 0)
+    val all = Checkpoint.read(spark, dir)
+    assert(all.count() == before + n1)
+    assert(all.select("chunk_id").distinct().count() == all.count(), "duplicate chunk rows")
+    // decoded checkpoint equals the original column bit-for-bit
+    val dec = EncodePipeline.decodeBytes(all)
+    assert(EncodePipeline.verify(kv, dec).filter(!col("matched")).count() == 0)
+  }
+
+  test("codec selector picks structure-appropriate codecs per column") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("key", concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+    val flag = EncodePipeline.encodeBytes(
+      li.select(col("key"), encode(col("l_returnflag"), "UTF-8").as("value")).as[KV],
+      "l_returnflag", EncodePipeline.chunkIdByHash(col("key"), 8))
+    val flagCodecs = flag.select("codec").distinct().as[String].collect().toSet
+    assert(flagCodecs.subsetOf(Set("dict", "rle")), s"cardinality-3 column chose $flagCodecs")
+
+    val text = EncodePipeline.encodeBytes(Queries.docsKV(spark, sf), "text", Queries.docChunk)
+    val textCodecs = text.select("codec").distinct().as[String].collect().toSet
+    assert(textCodecs == Set("fsst"), s"natural text chose $textCodecs")
+    // and it actually compresses
+    val ratio = text.agg(sum("bytes_out") / sum("bytes_in")).as[Double].head()
+    assert(ratio < 0.75, s"text compression ratio $ratio")
+
+    val ids = EncodePipeline.encodeLongs(
+      li.select(col("key"), col("l_orderkey").as("value")).as[LongKV],
+      "l_orderkey", EncodePipeline.chunkIdByHash(col("key"), 8))
+    val idCodecs = ids.select("codec").distinct().as[String].collect().toSet
+    assert(idCodecs.subsetOf(Set("for", "bitpack", "delta", "rle_long")), s"ids chose $idCodecs")
+  }
+
+  test("pages generator is deterministic and partitioning-independent") {
+    val a = PagesGen.pages(spark, 200, seed = 7, numPartitions = 2).collect().sortBy(_.url)
+    val b = PagesGen.pages(spark, 200, seed = 7, numPartitions = 13).collect().sortBy(_.url)
+    assert(a.length == 200 && a.map(_.url).toSeq == b.map(_.url).toSeq)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.text == y.text && java.util.Arrays.equals(x.html, y.html) &&
+        x.warc_ts == y.warc_ts && x.lang == y.lang
+    })
+    // a different seed changes content
+    val c = PagesGen.pages(spark, 200, seed = 8).collect().sortBy(_.url)
+    assert(c.map(_.url).toSeq != a.map(_.url).toSeq)
+  }
+
+  test("pages pipeline roundtrips text and html incl. skew tail") {
+    import spark.implicits._
+    val pages = PagesGen.pages(spark, 500, seed = 3, skew = 0.02).cache()
+    val textKv = pages.select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
+    val htmlKv = pages.select(col("url").as("key"), col("html").as("value")).as[KV]
+    for (kv <- Seq(textKv, htmlKv)) {
+      val enc = EncodePipeline.encodeBytes(kv, "c", EncodePipeline.chunkIdByHash(col("key"), 16))
+      val dec = EncodePipeline.decodeBytes(enc)
+      assert(EncodePipeline.verify(kv, dec).filter(!col("matched")).count() == 0)
+    }
+    pages.unpersist()
+  }
+
+  test("byte-entropy aggregator: constant ≈ 0 bits, uniform ≈ 8 bits") {
+    import spark.implicits._
+    val const = Seq.fill(50)(Array.fill[Byte](100)(65)).toDF("v")
+    val e0 = const.agg(ChunkStats.byteEntropy(col("v"))).as[Double].head()
+    assert(math.abs(e0) < 1e-9)
+    val rnd = new scala.util.Random(1)
+    val uni = Seq.fill(64)(Array.fill[Byte](4096)(rnd.nextInt(256).toByte)).toDF("v")
+    val e8 = uni.agg(ChunkStats.byteEntropy(col("v"))).as[Double].head()
+    assert(e8 > 7.9 && e8 <= 8.0)
+  }
+
+  test("long roundtrip preserves timestamps exactly (events.ts)") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val kvl = ev.select(col("event_id").cast("string").as("key"),
+      unix_micros(col("ts").cast("timestamp")).as("value")).as[LongKV]
+    val dec = EncodePipeline.decodeLongs(
+      EncodePipeline.encodeLongs(kvl, "ts", EncodePipeline.chunkIdByHash(col("key"), 8)))
+    val orig = kvl.collect().map(r => r.key -> r.value).toMap
+    val got = dec.collect().map(r => r.key -> r.value).toMap
+    assert(got == orig)
+  }
+}
