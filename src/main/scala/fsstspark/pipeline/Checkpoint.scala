@@ -57,6 +57,33 @@ object Checkpoint {
     n
   }
 
+  /** Local-chunking resume: recompute the (deterministic) partition-local
+    * chunking and encode only chunks whose content-derived id is absent
+    * from the checkpoint — the "failed partition range resumes
+    * idempotently" semantics for the zero-shuffle pipeline. The completed
+    * id set collects to the driver (8 bytes/chunk; ~6M ids at 100 TB /
+    * 16 MB chunks) and ships inside the task closure.
+    */
+  def resumeBytesLocal(
+      ds: Dataset[KV],
+      column: String,
+      path: String,
+      targetChunkBytes: Long = 16L << 20
+  ): Long = {
+    val spark = ds.sparkSession
+    val done: Set[Long] =
+      if (!exists(spark, path)) Set.empty
+      else spark.read.parquet(path).filter(col("column") === column)
+        .select("chunk_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    val results = EncodePipeline.encodeBytesLocal(ds, column, targetChunkBytes, done)
+    results.persist()
+    val n = results.count()
+    if (n > 0) write(results, path)
+    results.unpersist()
+    n
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -26,6 +26,8 @@ final case class ChunkResult(
     n_rows: Long,
     bytes_in: Long,
     bytes_out: Long,
+    min_key: String,
+    max_key: String,
     key_blob: Array[Byte],
     value_blob: Array[Byte]
 )
@@ -64,19 +66,105 @@ object EncodePipeline {
   ): Dataset[ChunkResult] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    // Explicit partition count: without it AQE coalesces the exchange to
+    // ~64MB partitions, capping the reduce stage (sort + train + encode —
+    // the CPU-heavy part) at a handful of tasks regardless of cores.
+    val parts = ds.sparkSession.sessionState.conf.numShufflePartitions
     ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
       .as[(Long, String, Array[Byte])]
-      .repartition(col("chunk_id"))
+      .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id", "key")
       .mapPartitions { it =>
         groupByChunk(it).map { case (cid, keys, values) =>
-          val enc = BytesCodec.encodeAuto(values)
-          val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
-          ChunkResult(cid, column, BytesCodec.names(enc.codec), values.length,
-            enc.bytesIn, enc.blob.length, keyBlob.blob, enc.blob)
+          mkResult(cid, column, keys, values)
         }
       }
   }
+
+  /** Zero-shuffle encode: chunks are consecutive runs of rows within each
+    * input partition, cut at `targetChunkBytes` — the shape of an Iceberg
+    * data-file rewrite (each task recompresses its own file/partition
+    * range; nothing crosses the wire). This is the 100 TB path: the only
+    * data movement is the scan itself. Chunk ids are content hashes
+    * (first/last key + count), so a rerun over the same input produces
+    * identical ids and [[Checkpoint]] resume can skip completed chunks.
+    *
+    * Use [[encodeBytes]] (hash-partitioned) when chunk membership must be
+    * a pure function of the key regardless of input layout; use this when
+    * input layout IS the lineage (file/partition ranges), which is how a
+    * real table-rewrite job runs.
+    */
+  def encodeBytesLocal(
+      ds: Dataset[KV],
+      column: String,
+      targetChunkBytes: Long = 16L << 20,
+      completed: Set[Long] = Set.empty
+  ): Dataset[ChunkResult] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      localChunks(it, targetChunkBytes).flatMap { case (keys, values) =>
+        val cid = localChunkId(keys)
+        if (completed.contains(cid)) None
+        else Some(mkResult(cid, column, keys, values))
+      }
+    }
+  }
+
+  /** Deterministic content-derived chunk id: depends only on the chunk's
+    * first/last keys and row count, not on partition numbering.
+    */
+  def localChunkId(keys: Array[String]): Long = {
+    var h = 1469598103934665603L
+    def mixStr(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+      h = (h ^ 0xff) * 1099511628211L
+    }
+    mixStr(keys.head)
+    mixStr(keys.last)
+    h ^ keys.length
+  }
+
+  private def mkResult(cid: Long, column: String, keys: Array[String],
+      values: Array[Array[Byte]]): ChunkResult = {
+    val enc = BytesCodec.encodeAuto(values)
+    val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
+    var mn = keys(0)
+    var mx = keys(0)
+    var i = 1
+    while (i < keys.length) {
+      if (keys(i) < mn) mn = keys(i)
+      if (keys(i) > mx) mx = keys(i)
+      i += 1
+    }
+    ChunkResult(cid, column, BytesCodec.names(enc.codec), values.length,
+      enc.bytesIn, enc.blob.length, mn, mx, keyBlob.blob, enc.blob)
+  }
+
+  /** Cuts a partition's row stream into consecutive chunks of
+    * ~targetChunkBytes (never empty; a single giant value forms its own
+    * chunk — skew becomes task-internal, not task-killing).
+    */
+  private def localChunks(
+      it: Iterator[KV], targetChunkBytes: Long
+  ): Iterator[(Array[String], Array[Array[Byte]])] =
+    new Iterator[(Array[String], Array[Array[Byte]])] {
+      private val in = it
+      def hasNext: Boolean = in.hasNext
+      def next(): (Array[String], Array[Array[Byte]]) = {
+        val keys = new ArrayBuffer[String]
+        val values = new ArrayBuffer[Array[Byte]]
+        var bytes = 0L
+        while (in.hasNext && bytes < targetChunkBytes) {
+          val kv = in.next()
+          keys += kv.key
+          values += kv.value
+          bytes += (if (kv.value == null) 0 else kv.value.length)
+        }
+        (keys.toArray, values.toArray)
+      }
+    }
 
   /** Encode an integer-like column (ids, epoch micros). */
   def encodeLongs(
@@ -86,9 +174,10 @@ object EncodePipeline {
   ): Dataset[ChunkResult] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    val parts = ds.sparkSession.sessionState.conf.numShufflePartitions
     ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
       .as[(Long, String, Long)]
-      .repartition(col("chunk_id"))
+      .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id", "key")
       .mapPartitions { it =>
         groupLongsByChunk(it).map { case (cid, keys, values) =>
@@ -96,7 +185,7 @@ object EncodePipeline {
           val enc = LongCodec.encodeAuto(colv)
           val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
           ChunkResult(cid, column, LongCodec.names(enc.codec), values.length,
-            enc.bytesIn, enc.blob.length, keyBlob.blob, enc.blob)
+            enc.bytesIn, enc.blob.length, keys.head, keys.last, keyBlob.blob, enc.blob)
         }
       }
   }

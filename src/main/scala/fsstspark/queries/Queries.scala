@@ -51,6 +51,21 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Zero-shuffle (partition-local chunking) variant of the round-trip —
+    * the Iceberg-rewrite-shaped scale path; same oracle as the hash-chunked
+    * one because decoded bytes must be identical either way.
+    */
+  def pipeLocalRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val enc = EncodePipeline.encodeBytesLocal(docsKV(s, dir), "text", 64L << 10)
+    val dec = EncodePipeline.decodeBytes(enc)
+    dec.join(documents(s, dir).select(col("doc_id").cast("string").as("key"), col("lang")), "key")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("value"))).as("total_bytes"),
+        countDistinct(md5(col("value"))).as("n_distinct"))
+      .orderBy("lang")
+  }
+
   /** N10 join-and-compare surfaced as a per-lang mismatch count (must be 0). */
   def pipeVerifyJoin(s: SparkSession, dir: String): DataFrame = {
     val original = docsKV(s, dir)
@@ -191,6 +206,85 @@ object Queries {
         sum(size(split(col("text"), "\\s+"))).as("n_tokens"),
         sum(length(col("text"))).as("total_chars"))
       .orderBy("lang")
+
+  /** documents plus deterministic planted near-duplicates (1-in-10 docs
+    * copied with a short appended tail) — the fixture both dedup queries
+    * run on, so near-dup counts are non-trivial and reproducible.
+    */
+  def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" trailing marker words")))
+    docs.unionByName(dups)
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    fsstspark.textops.Dedup.minhashPairs(
+      docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    fsstspark.textops.Dedup.simhashPairs(
+      docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 3)
+
+  def textAnalysis(s: SparkSession, dir: String): DataFrame =
+    fsstspark.textops.TextAnalysis.analyze(documents(s, dir), "doc_id", "text")
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_fingerprints").as("n_fingerprints"))
+      .orderBy("predicted_lang")
+
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    fsstspark.textops.AnnSearch.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("id").cast("long").as("id"), col("rank").cast("long").as("rank"))
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    fsstspark.textops.AnnSearch.lshTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        nBits = 6, nTables = 16)
+      .select(col("query_id"), col("id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The north-rule input shape end-to-end: a deterministic pages table
+    * (url, warc_ts, html, text, lang), every column encoded through the
+    * auto-selector, round-trip verified, metrics per (column, codec).
+    */
+  def pagesPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = fsstspark.gen.PagesGen.pages(s, 2000, seed = 42L, skew = 0.01).cache()
+    val chunk = EncodePipeline.chunkIdByHash(col("key"), 16)
+    def kvOf(name: String, value: Column) =
+      pages.select(concat(lit(name + "|"), col("url")).as("key"), value.as("value")).as[KV]
+    val cols = Seq(
+      "url" -> kvOf("url", encode(col("url"), "UTF-8")),
+      "text" -> kvOf("text", encode(col("text"), "UTF-8")),
+      "html" -> kvOf("html", col("html")))
+    val encs = cols.map { case (n, kv) => EncodePipeline.encodeBytes(kv, n, chunk) }
+    val encAll = encs.reduce(_ union _).persist()
+    val kvAll = cols.map(_._2).reduce(_ union _)
+    val badBytes = EncodePipeline.verify(kvAll, EncodePipeline.decodeBytes(encAll))
+      .filter(!col("matched")).count()
+    val tsKv = pages.select(concat(lit("ts|"), col("url")).as("key"),
+      unix_micros(col("warc_ts")).as("value")).as[LongKV]
+    val tsEnc = EncodePipeline.encodeLongs(tsKv, "warc_ts", chunk)
+    val tsOrig = tsKv.collect().map(r => r.key -> r.value).toMap
+    val badTs = EncodePipeline.decodeLongs(tsEnc).collect()
+      .count(r => tsOrig.get(r.key) != Some(r.value))
+    val out = encAll.union(tsEnc)
+      .groupBy("column", "codec")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_rows").as("n_rows"),
+        sum("bytes_in").as("bytes_in"), sum("bytes_out").as("bytes_out"))
+      .withColumn("n_mismatch", lit(badBytes + badTs))
+      .orderBy("column", "codec")
+    pages.unpersist()
+    out
+  }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).groupBy("lang")

@@ -1,0 +1,107 @@
+package fsstspark.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), Spark-first:
+  *
+  * - cosine similarity is a pure Catalyst expression
+  *   (`aggregate(zip_with(...))` — whole-stage-codegen'd, no UDF);
+  * - the brute-force baseline broadcasts the (small) query set against the
+  *   corpus — scan stays narrow, no shuffle of the corpus;
+  * - the scale path buckets vectors with signed-random-projection LSH
+  *   (bucket computed in one narrow typed map, planes derived from a
+  *   counter hash so nothing ships) so candidate generation is an
+  *   equi-join on bucket id instead of a full cross product, then
+  *   re-ranks candidates exactly.
+  */
+object AnnSearch {
+
+  /** Cosine similarity of two `array<float>`/`array<double>` columns as a
+    * native Catalyst expression (computed in double).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k: every query against every corpus vector,
+    * ranked per query. Queries must be small enough to broadcast.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("vec"), col("query_vec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Signed-random-projection bucket for one table: bit b = sign of the
+    * dot product with a ±1 hyperplane derived from mix64(table, b, dim).
+    */
+  def srpBucket(vec: Array[Float], nBits: Int, table: Int): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) {
+        val sign = if ((mix64((table.toLong << 40) ^ (b.toLong << 20) ^ d.toLong) & 1L) == 0L) 1.0 else -1.0
+        dot += vec(d) * sign
+        d += 1
+      }
+      if (dot > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** LSH-bucketed ANN: candidates share an SRP bucket in at least one of
+    * `nTables` tables (equi-join on (table, bucket)), then exact cosine
+    * re-rank of the candidate set. Recall < 1.0 by construction; raising
+    * `nTables` (or lowering `nBits`) trades cost for recall.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int = 10, nTables: Int = 8
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def withBuckets(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col(idCol).cast("long").as(idName), col(vecCol).as(vecName))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, vec) =>
+          Iterator.tabulate(nTables)(t => (id, vec, t, srpBucket(vec, nBits, t)))
+        }
+        .toDF(idName, vecName, "table", "bucket")
+    val c = withBuckets(corpus, "id", "vec")
+    val q = withBuckets(queries, "query_id", "query_vec")
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id", "vec", "query_vec").distinct()
+    val scored = cand.select(col("query_id"), col("id"),
+      cosine(col("vec"), col("query_vec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,187 @@
+package fsstspark.textops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large text corpora: MinHash+LSH and
+  * SimHash, with exact n-gram Jaccard verification of candidate pairs.
+  *
+  * Scale shape (the part that matters at 10^12 docs): signatures are
+  * computed in one narrow pass (`map`, no shuffle); candidate generation
+  * is a single `groupBy(band, hash)` shuffle of (band_hash, doc_id) pairs
+  * — tiny rows — never a cross join; exact verification joins texts back
+  * only for the candidate pairs (a vanishing fraction of n²).
+  */
+object Dedup {
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Word-level k-shingle hashes of a document (lowercased, whitespace
+    * tokenized). Returns distinct shingle hashes.
+    */
+  def shingles(text: String, k: Int = 3): Array[Long] = {
+    val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < k) {
+      if (tokens.isEmpty) Array.empty
+      else Array(mix64(tokens.mkString(" ").hashCode.toLong))
+    } else {
+      val out = new java.util.HashSet[Long]()
+      var i = 0
+      while (i + k <= tokens.length) {
+        var h = 1125899906842597L
+        var j = i
+        while (j < i + k) {
+          var t = 0
+          val w = tokens(j)
+          while (t < w.length) { h = 31 * h + w.charAt(t); t += 1 }
+          h = mix64(h)
+          j += 1
+        }
+        out.add(h)
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var n = 0
+      while (it.hasNext) { arr(n) = it.next(); n += 1 }
+      arr
+    }
+  }
+
+  /** MinHash signature: m independent permutations via seeded mixing. */
+  def minhash(shingleHashes: Array[Long], m: Int = 64): Array[Long] = {
+    val sig = Array.fill(m)(Long.MaxValue)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val s = shingleHashes(i)
+      var p = 0
+      while (p < m) {
+        val h = mix64(s ^ (p.toLong * 0xc2b2ae3d27d4eb4fL))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet
+    val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** 64-bit SimHash over word tokens (unit weights). */
+  def simhash(text: String): Long = {
+    val acc = new Array[Int](64)
+    val tokens = text.toLowerCase.split("\\s+")
+    var i = 0
+    while (i < tokens.length) {
+      if (tokens(i).nonEmpty) {
+        val h = mix64(tokens(i).hashCode.toLong)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param docs      (id, text) rows
+    * @param threshold exact word-k-shingle Jaccard cutoff for a pair
+    * @param m         signature length; bands of `r` rows → b = m/r bands
+    */
+  def minhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 3, m: Int = 64, r: Int = 4
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = m / r
+    // one narrow pass: id → (shingles kept for verify) + banded signature
+    val sigs = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
+      .map { case (id, text) =>
+        val sh = shingles(if (text == null) "" else text, k)
+        val sig = minhash(sh, m)
+        val bands = Array.tabulate(b) { bi =>
+          var h = bi.toLong * 0x9e3779b97f4a7c15L
+          var j = bi * r
+          while (j < (bi + 1) * r) { h = mix64(h ^ sig(j)); j += 1 }
+          h
+        }
+        (id, bands)
+      }.toDF("id", "bands")
+    // candidate pairs: docs sharing any band bucket (shuffle of small rows)
+    val buckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+    val l = buckets.as("l")
+    val rgt = buckets.as("r")
+    val cand = l.join(rgt,
+        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    // exact verification joins text back for candidates only
+    val texts = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+    val verified = cand
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b")
+      .as[(String, String, String, String)]
+      .map { case (ia, ib, ta, tb) =>
+        (ia, ib, exactJaccard(shingles(ta, k), shingles(tb, k)))
+      }.toDF("id_a", "id_b", "jaccard")
+    verified.filter(col("jaccard") >= threshold).orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-duplicate pairs: fingerprints within `maxHamming` bits.
+    * Block-permutation LSH: split the 64-bit fingerprint into
+    * `maxHamming+1` blocks — any pair within the distance shares at least
+    * one exact block (pigeonhole), so candidates come from equi-joins on
+    * (block_idx, block_value), never a cross join.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val fps = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
+      .map { case (id, t) => (id, simhash(if (t == null) "" else t)) }
+      .toDF("id", "fp")
+    val blocks = fps.select(col("id"), col("fp"),
+      explode(array((0 until nBlocks).map { bi =>
+        struct(lit(bi).as("block"),
+          shiftrightunsigned(col("fp"), bi * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("bval"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("fp"), col("blk.block"), col("blk.bval"))
+    val l = blocks.as("l")
+    val r = blocks.as("r")
+    val cand = l.join(r,
+        col("l.block") === col("r.block") && col("l.bval") === col("r.bval") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.fp").as("fp_a"), col("r.fp").as("fp_b")).distinct()
+    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+  }
+}

@@ -11,6 +11,14 @@ object KernelBench {
     val path = if (args.nonEmpty) args(0) else "/root/reference/testdata/en_mobydick.txt"
     val input = Files.readAllBytes(Paths.get(path))
     val table = FsstTrainer.train(Array(input))
+    var tBest = Double.MaxValue
+    for (_ <- 0 until 40) {
+      val t0 = System.nanoTime()
+      FsstTrainer.train(Array(input))
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (dt < tBest) tBest = dt
+    }
+    println(f"train: $tBest%.2f ms (best of 40, ≤32KB sample)")
     val enc = table.newEncoder()
     val dec = table.newDecoder()
 

@@ -1,0 +1,96 @@
+package fsstspark.tools
+
+import fsstspark.gen.PagesGen
+import fsstspark.pipeline.{EncodePipeline, KV}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Two-parallelism scaling evidence for the north rule's N→4N criterion
+  * (no real cluster in sandbox — driver instruction: run the same job at
+  * local[N] and local[4N] on identical input and report throughput at
+  * both plus scaling efficiency).
+  *
+  * Two job shapes are measured:
+  *  - `local`  — zero-shuffle partition-local chunking (the Iceberg
+  *    data-file rewrite shape; each task recompresses its own range).
+  *    This is the shape the 10^12-row pipeline runs.
+  *  - `shuffle` — hash-partitioned global chunking (key-deterministic
+  *    chunks; pays one full shuffle + sort).
+  *
+  * Per parallelism level: fresh SparkSession, generate + cache the
+  * identical deterministic corpus, one untimed warmup pass (JIT/codegen),
+  * then `reps` timed passes; min is reported (least-interference run).
+  * Efficiency = (T_N / T_4N) / 4 — 1.0 is perfectly linear.
+  *
+  * Usage: runMain fsstspark.tools.ScalingBench [nPages] [cpusCsv] [reps]
+  * Run each cpu level in its own JVM (one invocation per level) and with
+  * SPARK_LOCAL_DIRS on tmpfs so disk writeback doesn't serialize runs.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nPages = if (args.length > 0) args(0).toLong else 100000L
+    val cpuLevels = (if (args.length > 1) args(1) else "8,32").split(",").map(_.trim.toInt)
+    val reps = if (args.length > 2) args(2).toInt else 3
+
+    // (cpus, mode) -> (bestSec, bytes)
+    val out = scala.collection.mutable.LinkedHashMap.empty[(Int, String), (Double, Long)]
+    for (cpus <- cpuLevels) {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(s"fsstspark-scaling-$cpus")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("ERROR")
+
+      val pages = PagesGen.pages(spark, nPages, seed = 42L, skew = 0.002,
+        numPartitions = cpus * 4).cache()
+      pages.count()
+      val textKv = pages.select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
+      val htmlKv = pages.select(col("url").as("key"), col("html").as("value")).as[KV]
+      val nChunks = math.max(cpus * 8, (nPages / 2000).toInt)
+      val chunk = EncodePipeline.chunkIdByHash(col("key"), nChunks)
+
+      val modes: Seq[(String, () => Long)] = Seq(
+        "local" -> (() =>
+          EncodePipeline.encodeBytesLocal(textKv, "text", 4L << 20)
+            .agg(sum("bytes_in")).head().getLong(0) +
+          EncodePipeline.encodeBytesLocal(htmlKv, "html", 4L << 20)
+            .agg(sum("bytes_in")).head().getLong(0)),
+        "shuffle" -> (() =>
+          EncodePipeline.encodeBytes(textKv, "text", chunk)
+            .agg(sum("bytes_in")).head().getLong(0) +
+          EncodePipeline.encodeBytes(htmlKv, "html", chunk)
+            .agg(sum("bytes_in")).head().getLong(0))
+      )
+      for ((mode, runOnce) <- modes) {
+        val bytesIn = runOnce() // warmup, untimed
+        val times = (1 to reps).map { _ =>
+          // let the ContextCleaner reap previous reps' shuffle files so
+          // writeback of dead data doesn't throttle the timed run
+          System.gc()
+          Thread.sleep(500)
+          val t0 = System.nanoTime()
+          runOnce()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val best = times.head
+        out((cpus, mode)) = (best, bytesIn)
+        println(f"[scaling] local[$cpus%d] $mode%s: best=$best%.2fs over ${bytesIn / 1e6}%.1f MB → ${bytesIn / 1e9 / best}%.3f GB/s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      }
+      spark.stop()
+    }
+    val cs = cpuLevels.sorted
+    if (cs.length >= 2) {
+      for (mode <- Seq("local", "shuffle")) {
+        val (tLow, _) = out((cs.head, mode))
+        val (tHigh, bytes) = out((cs.last, mode))
+        val factor = cs.last.toDouble / cs.head
+        val eff = (tLow / tHigh) / factor
+        println(f"""{"scaling":{"mode":"$mode%s","n_low":${cs.head},"n_high":${cs.last},"t_low_sec":$tLow%.3f,"t_high_sec":$tHigh%.3f,"bytes":$bytes,"gbps_low":${bytes / 1e9 / tLow}%.3f,"gbps_high":${bytes / 1e9 / tHigh}%.3f,"speedup":${tLow / tHigh}%.3f,"efficiency":$eff%.3f}}""")
+      }
+    }
+  }
+}

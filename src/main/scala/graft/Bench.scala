@@ -1,24 +1,90 @@
 package graft
+
+import fsstspark.gen.PagesGen
+import fsstspark.pipeline.{EncodePipeline, KV}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: one JSON line with per-query seconds plus the
+  * headline pages-corpus encode/decode throughput (the north-rule metric:
+  * GB/s over Common-Crawl-style pages).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "50000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try time(name)(fn(spark, sfDir).count())
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); results(name) = -1 }
+    }
+
+    // Headline: encode + decode throughput over the generated pages corpus
+    // (text + html columns), isolated from generation cost via cache().
+    val pages = PagesGen.pages(spark, nPages, seed = 42L, skew = 0.002,
+      numPartitions = cpus.toInt * 2).cache()
+    pages.count()
+    val textKv = pages.select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
+    val htmlKv = pages.select(col("url").as("key"), col("html").as("value")).as[KV]
+    val nChunks = math.max(64, (nPages / 2000).toInt)
+    val chunk = EncodePipeline.chunkIdByHash(col("key"), nChunks)
+
+    // zero-shuffle partition-local chunking (the Iceberg-rewrite job shape)
+    var bytesLocal = 0L
+    EncodePipeline.encodeBytesLocal(textKv, "text", 4L << 20)
+      .agg(sum("bytes_in")).head() // warmup (JIT + codegen)
+    time("pages_encode_local") {
+      bytesLocal = EncodePipeline.encodeBytesLocal(textKv, "text", 4L << 20)
+        .agg(sum("bytes_in")).head().getLong(0) +
+        EncodePipeline.encodeBytesLocal(htmlKv, "html", 4L << 20)
+          .agg(sum("bytes_in")).head().getLong(0)
+    }
+
+    var bytesIn = 0L
+    var bytesOut = 0L
+    val encText = EncodePipeline.encodeBytes(textKv, "text", chunk).cache()
+    val encHtml = EncodePipeline.encodeBytes(htmlKv, "html", chunk).cache()
+    time("pages_encode") {
+      val a = encText.agg(sum("bytes_in"), sum("bytes_out")).head()
+      val b = encHtml.agg(sum("bytes_in"), sum("bytes_out")).head()
+      bytesIn = a.getLong(0) + b.getLong(0)
+      bytesOut = a.getLong(1) + b.getLong(1)
+    }
+    var bytesDecoded = 0L
+    time("pages_decode") {
+      bytesDecoded = EncodePipeline.decodeBytes(encText.union(encHtml))
+        .agg(sum(octet_length(col("value")))).head().getLong(0)
+    }
+    require(bytesDecoded == bytesIn, s"decode byte count mismatch: $bytesDecoded != $bytesIn")
+
+    val encGbps = bytesLocal / 1e9 / results("pages_encode_local")
+    val encShuffleGbps = bytesIn / 1e9 / results("pages_encode")
+    val decGbps = bytesIn / 1e9 / results("pages_decode")
+    val ratio = bytesOut.toDouble / bytesIn
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = f"${results.values.filter(_ > 0).sum}%.3f"
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"pages":$nPages,"pages_bytes_in":$bytesIn,"pages_bytes_out":$bytesOut,""" +
+        f""""pages_ratio":$ratio%.4f,"encode_gbps":$encGbps%.3f,"encode_shuffle_gbps":$encShuffleGbps%.3f,"decode_gbps":$decGbps%.3f}""")
     spark.stop()
   }
 }

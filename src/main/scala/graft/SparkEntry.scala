@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // core compression pipeline (SURVEY.md §2.1 R1-R15 + §2.2 N6-N10)
     "pipe_roundtrip_text" -> (Queries.pipeRoundtripText _),
+    "pipe_local_roundtrip" -> (Queries.pipeLocalRoundtrip _),
     "pipe_verify_join" -> (Queries.pipeVerifyJoin _),
     "pipe_resume_pending" -> (Queries.pipeResumePending _),
     "pipe_codec_mix" -> (Queries.pipeCodecMix _),
@@ -37,12 +38,25 @@ object SparkEntry {
     "q_window_runs" -> (Queries.qWindowRuns _),
     // training-data ops
     "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_minhash" -> (Queries.dedupMinhash _),
+    "dedup_simhash" -> (Queries.dedupSimhash _),
     "text_tokens" -> (Queries.textTokens _),
-    "text_quality" -> (Queries.textQuality _)
+    "text_quality" -> (Queries.textQuality _),
+    "text_analysis" -> (Queries.textAnalysis _),
+    // similarity search over embeddings
+    "ann_bruteforce" -> (Queries.annBruteforce _),
+    "ann_lsh" -> (Queries.annLsh _),
+    // the north-rule pages table end-to-end
+    "pages_pipeline" -> (Queries.pagesPipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "pipe_roundtrip_text" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "pipe_local_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
          CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
@@ -93,6 +107,15 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
          FROM documents GROUP BY lang ORDER BY lang""",
+    "ann_bruteforce" ->
+      """SELECT query_id, id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE c.vec_id <> q.vec_id)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "text_tokens" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens,

@@ -58,6 +58,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(EncodePipeline.verify(kv, dec).filter(!col("matched")).count() == 0)
   }
 
+  test("local (zero-shuffle) chunking roundtrips and resumes idempotently") {
+    import spark.implicits._
+    val kv = Queries.docsKV(spark, sf).repartition(4).cache()
+    kv.count()
+    val enc = EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10)
+    assert(enc.count() > 1, "expected multiple local chunks")
+    val dec = EncodePipeline.decodeBytes(enc)
+    assert(EncodePipeline.verify(kv, dec).filter(!col("matched")).count() == 0)
+    // chunk ids are content-derived → identical across reruns of same input
+    val ids1 = enc.select("chunk_id").as[Long].collect().sorted.toSeq
+    val ids2 = EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10)
+      .select("chunk_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // resume: checkpoint half the chunks, resumeBytesLocal completes the rest
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-local").toString + "/chunks"
+    val half = enc.filter(pmod(col("chunk_id"), lit(2)) === 0)
+    Checkpoint.write(half, dir)
+    val n1 = Checkpoint.resumeBytesLocal(kv, "text", dir, 8L << 10)
+    assert(n1 == ids1.length - half.count())
+    assert(Checkpoint.resumeBytesLocal(kv, "text", dir, 8L << 10) == 0)
+    val all = Checkpoint.read(spark, dir)
+    assert(all.select("chunk_id").distinct().count() == all.count())
+    assert(EncodePipeline.verify(kv, EncodePipeline.decodeBytes(all))
+      .filter(!col("matched")).count() == 0)
+    kv.unpersist()
+  }
+
   test("codec selector picks structure-appropriate codecs per column") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -1,0 +1,123 @@
+package fsstspark.textops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("fsstspark-textops-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def syntheticDocs(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val base = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(80)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted near-dups: copy with a short appended tail
+    val dups = base.filter(_._1 % 4 == 0).map { case (id, t) =>
+      (id + 1000, t + " tail marker")
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates, no false positives above threshold") {
+    val docs = syntheticDocs()
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong, r.getDouble(2)))
+    val planted = Set(0L, 4L, 8L, 12L, 16L).map(i => (i, i + 1000))
+    val found = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(planted.subsetOf(found), s"missing planted pairs: ${planted -- found}")
+    // random 80-word docs from a 16-word vocab share most 1-grams but few 3-shingles
+    assert(pairs.forall(_._3 >= 0.7))
+    assert(found.forall { case (a, b) => b - a == 1000 }, s"false positive pairs: $found")
+  }
+
+  test("simhash finds planted near-duplicates within hamming 3") {
+    val docs = syntheticDocs()
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val planted = Set(0L, 4L, 8L, 12L, 16L).map(i => (i, i + 1000))
+    assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
+  }
+
+  test("exact jaccard + shingles behave on edges") {
+    assert(Dedup.exactJaccard(Array.empty, Array.empty) == 1.0)
+    val a = Dedup.shingles("one two three four five")
+    assert(Dedup.exactJaccard(a, a) == 1.0)
+    val b = Dedup.shingles("six seven eight nine ten")
+    assert(Dedup.exactJaccard(a, b) == 0.0)
+    assert(Dedup.shingles("").isEmpty)
+    assert(Dedup.shingles("one two").nonEmpty) // shorter than k → whole-doc shingle
+  }
+
+  test("language ID identifies stopword-rich sentences") {
+    assert(TextAnalysis.detectLang("the cat sat on the mat and it was happy with the sun") == "en")
+    assert(TextAnalysis.detectLang("der Hund und die Katze sind mit dem Kind auf der Wiese") == "de")
+    assert(TextAnalysis.detectLang("le chat est dans la maison avec les enfants et le chien") == "fr")
+    assert(TextAnalysis.detectLang("el perro y el gato están en la casa con los niños") == "es")
+    assert(TextAnalysis.detectLang("") == "und")
+    assert(TextAnalysis.detectLang("xyzzy qwerty plugh") == "und")
+  }
+
+  test("winnowing fingerprints are shift-robust") {
+    val text = "the quick brown fox jumps over the lazy dog " * 20
+    val fp1 = TextAnalysis.winnow(text)
+    assert(fp1.nonEmpty)
+    assert(TextAnalysis.winnow(text).sameElements(fp1)) // deterministic
+    val shifted = "PREFIX ADDED HERE " + text
+    val fp2 = TextAnalysis.winnow(shifted)
+    val shared = fp1.toSet.intersect(fp2.toSet).size.toDouble / fp1.length
+    assert(shared > 0.6, s"only $shared of fingerprints survive a prefix shift")
+    val other = TextAnalysis.winnow("completely different content with nothing in common at all " * 20)
+    val cross = fp1.toSet.intersect(other.toSet).size
+    assert(cross == 0, s"$cross fingerprints shared between unrelated texts")
+  }
+
+  test("brute-force ANN returns the true nearest neighbors") {
+    import spark.implicits._
+    // 1 query at the origin-ish direction; neighbors at decreasing cosine
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.7f, 0.7f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = AnnSearch.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN finds genuinely-near neighbors (planted clusters)") {
+    import spark.implicits._
+    // 40 cluster centers × 6 noisy members (cosine ≈ 0.95+): LSH must
+    // recover same-cluster members. (The sf testdata embeddings are
+    // near-uniform — top-10 cosine ≈ 0.3 — where sub-linear ANN is
+    // information-theoretically weak; planted clusters test the operator.)
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val vecs = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 6).map { m =>
+        val v = center.zip(Array.fill(dim)(rnd.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b }
+        ((c * 6 + m).toLong, v)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 6 === 0).limit(10)
+    val exact = AnnSearch.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnSearch.lshTopK(df, queries, "vec_id", "embedding", 5, nBits = 8, nTables = 8)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8 on clustered data")
+  }
+}
