@@ -216,18 +216,35 @@ object BytesCodec {
 
   final val DistinctCap = 4096
 
+  /** Values longer than this can never win with a chunk-local dictionary
+    * (dict ≥ distinctBytes; FSST beats it on any text-like data), so the
+    * distinct-tracking pass — which hashes every byte — is skipped and
+    * the column treated as effectively all-distinct.
+    */
+  final val DictMaxAvgLen = 256
+
   def stats(values: Array[Array[Byte]]): Stats = {
+    // pass 1 (cheap): nulls, total bytes, run count
     var nulls = 0
     var total = 0L
     var runs = 0
-    var dBytes = 0L
-    val seen = mutable.HashSet.empty[ByteKey]
-    var capped = false
     var i = 0
     while (i < values.length) {
       val v = values(i)
       if (v == null) nulls += 1 else total += v.length
       if (i == 0 || !sameValue(v, values(i - 1))) runs += 1
+      i += 1
+    }
+    val avgLen = total / math.max(values.length - nulls, 1)
+    if (avgLen > DictMaxAvgLen)
+      return Stats(values.length, nulls, total, runs, DistinctCap, total, distinctCapped = true)
+    // pass 2 (hashes every byte): distinct tracking for dict sizing
+    var dBytes = 0L
+    val seen = mutable.HashSet.empty[ByteKey]
+    var capped = false
+    i = 0
+    while (i < values.length) {
+      val v = values(i)
       if (v != null && !capped) {
         val k = new ByteKey(v)
         if (seen.add(k)) {

@@ -49,7 +49,13 @@ object PagesGen {
     z ^ (z >>> 31)
   }
 
-  def page(seed: Long, rowId: Long, skew: Double): Page = {
+  def page(seed: Long, rowId: Long, skew: Double): Page = page(seed, rowId, skew, 1.0)
+
+  /** @param wordsScale multiplies the text length (1.0 ≈ 40–400 words ≈
+    *   0.25–2.5 KB; real Common-Crawl text averages several KB — use ~6
+    *   for realistic page sizes)
+    */
+  def page(seed: Long, rowId: Long, skew: Double, wordsScale: Double): Page = {
     val r0 = mix(seed ^ (rowId * 0x2545f4914f6cdd1dL))
     // Zipf-ish host popularity: square a uniform to skew toward low ids.
     val u = ((r0 >>> 11).toDouble / (1L << 53).toDouble)
@@ -71,7 +77,7 @@ object PagesGen {
     r = mix(r)
     val isGiant = java.lang.Long.remainderUnsigned(r, 1000000L) < (skew * 1000000L).toLong
     r = mix(r)
-    val baseWords = 40 + java.lang.Long.remainderUnsigned(r, 360L).toInt
+    val baseWords = ((40 + java.lang.Long.remainderUnsigned(r, 360L).toInt) * wordsScale).toInt
     val nWords = if (isGiant) baseWords * 64 else baseWords
     val text = {
       val t = new StringBuilder(nWords * 6)
@@ -93,9 +99,9 @@ object PagesGen {
   }
 
   def pages(spark: SparkSession, nRows: Long, seed: Long = 42L, skew: Double = 0.002,
-      numPartitions: Int = 0): Dataset[Page] = {
+      numPartitions: Int = 0, wordsScale: Double = 1.0): Dataset[Page] = {
     import spark.implicits._
     val base = if (numPartitions > 0) spark.range(0, nRows, 1, numPartitions) else spark.range(nRows)
-    base.map(id => page(seed, id, skew))
+    base.map(id => page(seed, id, skew, wordsScale))
   }
 }

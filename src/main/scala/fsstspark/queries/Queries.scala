@@ -286,6 +286,44 @@ object Queries {
     out
   }
 
+  /** Multimodal plumbing over the pages' binary html column: batched
+    * feature extraction (deterministic fake decoder — see
+    * [[fsstspark.textops.Multimodal]]) summarized per media type.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val pages = fsstspark.gen.PagesGen.pages(s, 500, seed = 42L)
+    fsstspark.textops.Multimodal.extractFeatures(pages.toDF(), "url", "html", "image")
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"),
+        countDistinct(col("width")).as("n_distinct_widths"))
+      .orderBy("media_type")
+  }
+
+  /** Streaming ingest front end: pages land as files, each micro-batch is
+    * encoded via the local pipeline into the checkpoint table
+    * (exactly-once at chunk granularity). Summarized per (column, codec).
+    */
+  def streamingIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream-q").toString
+    fsstspark.gen.PagesGen.pages(s, 400, seed = 42L).coalesce(2)
+      .write.mode("overwrite").parquet(s"$root/src")
+    val schema = s.read.parquet(s"$root/src").schema
+    val q = fsstspark.streaming.StreamingEncode.start(s, s"$root/src", schema,
+      "url", "text", "text", s"$root/chunks", s"$root/state", targetChunkBytes = 64L << 10)
+    q.awaitTermination()
+    val chunks = Checkpoint.read(s, s"$root/chunks")
+    val dec = EncodePipeline.decodeBytes(chunks)
+    val orig = fsstspark.gen.PagesGen.pages(s, 400, seed = 42L)
+      .select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
+    val bad = EncodePipeline.verify(orig, dec).filter(!col("matched")).count()
+    chunks.groupBy("column", "codec")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_rows").as("n_rows"),
+        sum("bytes_in").as("bytes_in"), sum("bytes_out").as("bytes_out"))
+      .withColumn("n_mismatch", lit(bad))
+      .orderBy("column", "codec")
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -1,0 +1,53 @@
+package fsstspark.streaming
+
+import fsstspark.pipeline.{Checkpoint, EncodePipeline, KV}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incremental ingestion compression: a Structured Streaming file source
+  * watches a directory of incoming page files; every micro-batch is
+  * encoded with the zero-shuffle local pipeline and appended to the
+  * checkpoint table via `foreachBatch`.
+  *
+  * The north rule is a batch job (SURVEY.md §2.3.j), so this is the
+  * *optional* continuous-ingest front end: the batch pipeline is the
+  * engine, streaming just feeds it micro-batches. Exactly-once at the
+  * chunk level falls out of the same content-derived chunk ids — a batch
+  * replayed after a crash re-encodes to identical ids, and
+  * `resumeBytesLocal`'s id-set filter drops duplicates.
+  */
+object StreamingEncode {
+
+  /** Start encoding `srcDir` (parquet files with at least `keyCol` and
+    * string/binary `valueCol`) into `checkpointTable`.
+    */
+  def start(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      keyCol: String,
+      valueCol: String,
+      column: String,
+      checkpointTable: String,
+      streamStateDir: String,
+      targetChunkBytes: Long = 16L << 20
+  ): StreamingQuery = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("binary").as("value"))
+      .as[KV]
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", streamStateDir)
+      .foreachBatch { (batch: Dataset[KV], batchId: Long) =>
+        // done-id filter makes a replayed batch a no-op (chunk ids are
+        // content-derived, so the replay regenerates the same ids)
+        Checkpoint.resumeBytesLocal(batch, column, checkpointTable, targetChunkBytes)
+        ()
+      }
+      .start()
+  }
+}

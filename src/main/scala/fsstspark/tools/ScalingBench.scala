@@ -10,50 +10,75 @@ import org.apache.spark.sql.functions._
   * local[N] and local[4N] on identical input and report throughput at
   * both plus scaling efficiency).
   *
-  * Two job shapes are measured:
-  *  - `local`  — zero-shuffle partition-local chunking (the Iceberg
-  *    data-file rewrite shape; each task recompresses its own range).
-  *    This is the shape the 10^12-row pipeline runs.
-  *  - `shuffle` — hash-partitioned global chunking (key-deterministic
-  *    chunks; pays one full shuffle + sort).
+  * The measured job is the production shape: scan a parquet pages table
+  * (vectorized reader, column pruning) → per-partition chunk → train +
+  * encode → metrics aggregate. The corpus is generated deterministically
+  * once and written to parquet; every parallelism level reads the same
+  * files. Three job shapes are reported:
+  *  - `scan`    — same scan + row conversion, no codec (the floor)
+  *  - `local`   — zero-shuffle partition-local chunking (Iceberg
+  *                data-file rewrite shape; the 10^12-row path)
+  *  - `shuffle` — hash-partitioned global chunking (one shuffle + sort)
   *
-  * Per parallelism level: fresh SparkSession, generate + cache the
-  * identical deterministic corpus, one untimed warmup pass (JIT/codegen),
-  * then `reps` timed passes; min is reported (least-interference run).
+  * Per level: fresh SparkSession, untimed warmup pass (JIT/codegen),
+  * then `reps` timed passes; best is reported (least interference).
   * Efficiency = (T_N / T_4N) / 4 — 1.0 is perfectly linear.
   *
-  * Usage: runMain fsstspark.tools.ScalingBench [nPages] [cpusCsv] [reps]
-  * Run each cpu level in its own JVM (one invocation per level) and with
-  * SPARK_LOCAL_DIRS on tmpfs so disk writeback doesn't serialize runs.
+  * Usage: runMain fsstspark.tools.ScalingBench [nPages] [cpusCsv] [reps] [corpusDir]
+  * Run each cpu level in its own JVM and put corpusDir + SPARK_LOCAL_DIRS
+  * on tmpfs so disk writeback doesn't serialize runs.
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nPages = if (args.length > 0) args(0).toLong else 100000L
     val cpuLevels = (if (args.length > 1) args(1) else "8,32").split(",").map(_.trim.toInt)
     val reps = if (args.length > 2) args(2).toInt else 3
+    val corpusDir = (if (args.length > 3) args(3) else "/dev/shm/fsst-corpus") +
+      s"/pages_${nPages}"
 
-    // (cpus, mode) -> (bestSec, bytes)
+    // generate-once: deterministic corpus shared by all levels
+    if (!new java.io.File(corpusDir + "/_SUCCESS").exists()) {
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("fsstspark-corpus-gen")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      PagesGen.pages(spark, nPages, seed = 42L, skew = 0.002,
+        numPartitions = 128, wordsScale = 6.0)
+        .write.mode("overwrite").parquet(corpusDir)
+      spark.stop()
+      println(s"[scaling] corpus written: $corpusDir")
+    }
+
     val out = scala.collection.mutable.LinkedHashMap.empty[(Int, String), (Double, Long)]
     for (cpus <- cpuLevels) {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(s"fsstspark-scaling-$cpus")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       import spark.implicits._
       spark.sparkContext.setLogLevel("ERROR")
 
-      val pages = PagesGen.pages(spark, nPages, seed = 42L, skew = 0.002,
-        numPartitions = cpus * 4).cache()
-      pages.count()
-      val textKv = pages.select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
-      val htmlKv = pages.select(col("url").as("key"), col("html").as("value")).as[KV]
+      def pages = spark.read.parquet(corpusDir)
+      def textKv = pages.select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
+      def htmlKv = pages.select(col("url").as("key"), col("html").as("value")).as[KV]
       val nChunks = math.max(cpus * 8, (nPages / 2000).toInt)
-      val chunk = EncodePipeline.chunkIdByHash(col("key"), nChunks)
+      def chunk = EncodePipeline.chunkIdByHash(col("key"), nChunks)
 
       val modes: Seq[(String, () => Long)] = Seq(
+        "scan" -> (() => {
+          def consume(kv: org.apache.spark.sql.Dataset[KV]): Long =
+            kv.mapPartitions { it =>
+              var s = 0L
+              it.foreach(r => s += (if (r.value == null) 0 else r.value.length))
+              Iterator.single(s)
+            }.reduce(_ + _)
+          consume(textKv) + consume(htmlKv)
+        }),
         "local" -> (() =>
           EncodePipeline.encodeBytesLocal(textKv, "text", 4L << 20)
             .agg(sum("bytes_in")).head().getLong(0) +
@@ -67,15 +92,25 @@ object ScalingBench {
       )
       for ((mode, runOnce) <- modes) {
         val bytesIn = runOnce() // warmup, untimed
-        val times = (1 to reps).map { _ =>
+        def gcMillis: Long = {
+          var t = 0L
+          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .forEach(b => t += b.getCollectionTime)
+          t
+        }
+        val raw = (1 to reps).map { _ =>
           // let the ContextCleaner reap previous reps' shuffle files so
           // writeback of dead data doesn't throttle the timed run
           System.gc()
           Thread.sleep(500)
+          val g0 = gcMillis
           val t0 = System.nanoTime()
           runOnce()
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
+          val dt = (System.nanoTime() - t0) / 1e9
+          (dt, (gcMillis - g0) / 1000.0)
+        }
+        println(f"[scaling]   $mode%s rep detail: ${raw.map { case (t, g) => f"$t%.2fs(gc $g%.2f)" }.mkString(", ")}")
+        val times = raw.map(_._1).sorted
         val best = times.head
         out((cpus, mode)) = (best, bytesIn)
         println(f"[scaling] local[$cpus%d] $mode%s: best=$best%.2fs over ${bytesIn / 1e6}%.1f MB → ${bytesIn / 1e9 / best}%.3f GB/s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
@@ -84,7 +119,7 @@ object ScalingBench {
     }
     val cs = cpuLevels.sorted
     if (cs.length >= 2) {
-      for (mode <- Seq("local", "shuffle")) {
+      for (mode <- Seq("scan", "local", "shuffle")) {
         val (tLow, _) = out((cs.head, mode))
         val (tHigh, bytes) = out((cs.last, mode))
         val factor = cs.last.toDouble / cs.head

@@ -47,7 +47,10 @@ object SparkEntry {
     "ann_bruteforce" -> (Queries.annBruteforce _),
     "ann_lsh" -> (Queries.annLsh _),
     // the north-rule pages table end-to-end
-    "pages_pipeline" -> (Queries.pagesPipeline _)
+    "pages_pipeline" -> (Queries.pagesPipeline _),
+    // multimodal plumbing + streaming ingest front end
+    "multimodal_features" -> (Queries.multimodalFeatures _),
+    "streaming_ingest" -> (Queries.streamingIngest _)
   )
 
   def oracleSql: Map[String, String] = Map(

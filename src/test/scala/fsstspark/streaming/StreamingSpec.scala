@@ -1,0 +1,89 @@
+package fsstspark.streaming
+
+import fsstspark.gen.PagesGen
+import fsstspark.pipeline.{Checkpoint, EncodePipeline, KV}
+import fsstspark.textops.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("fsstspark-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming file-source ingest encodes incrementally, exactly-once chunks") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream").toString
+    val src = s"$root/src"
+    val ckpt = s"$root/chunks"
+    val state = s"$root/state"
+
+    def writeBatch(from: Long, until: Long): Unit =
+      PagesGen.pages(spark, until, seed = 9).filter(col("warc_ts") >= lit(new java.sql.Timestamp((1735689600L + from) * 1000L)))
+        .coalesce(2).write.mode("append").parquet(src)
+
+    writeBatch(0, 200)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = StreamingEncode.start(spark, src, schema, "url", "text", "text",
+        ckpt, state, targetChunkBytes = 32L << 10)
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = Checkpoint.read(spark, ckpt).count()
+    assert(n1 > 0)
+    // second micro-batch: only new files are processed
+    writeBatch(200, 400)
+    runOnce()
+    val all = Checkpoint.read(spark, ckpt)
+    assert(all.count() > n1)
+    assert(all.select("chunk_id").distinct().count() == all.count(), "duplicate chunks")
+    // full corpus round-trips from the checkpoint table
+    val expected = spark.read.parquet(src)
+      .select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
+    val dec = EncodePipeline.decodeBytes(all)
+    assert(EncodePipeline.verify(expected, dec).filter(!col("matched")).count() == 0)
+    // replaying the whole stream state from scratch adds nothing new
+    val stateDir2 = s"$root/state2"
+    val q2 = StreamingEncode.start(spark, src, schema, "url", "text", "text",
+      ckpt, stateDir2, targetChunkBytes = 32L << 10)
+    q2.awaitTermination()
+    assert(Checkpoint.read(spark, ckpt).count() == all.count(), "replay created duplicates")
+  }
+
+  test("multimodal feature extraction is deterministic and batch-shaped") {
+    import spark.implicits._
+    val pages = PagesGen.pages(spark, 100, seed = 4).cache()
+    val f1 = Multimodal.extractFeatures(pages.toDF(), "url", "html", "image")
+      .collect().map(f => f.key -> f).toMap
+    val f2 = Multimodal.extractFeatures(pages.toDF().repartition(7), "url", "html", "image")
+      .collect().map(f => f.key -> f).toMap
+    assert(f1.keySet == f2.keySet && f1.size == 100)
+    f1.foreach { case (k, a) =>
+      val b = f2(k)
+      assert(a.width == b.width && a.mean_intensity == b.mean_intensity &&
+        a.feature.toSeq == b.feature.toSeq)
+    }
+    // features are usable by the ANN operator
+    val feats = Multimodal.extractFeatures(pages.toDF(), "url", "html", "image")
+      .select(xxhash64(col("key")).as("vec_id"), col("feature").as("embedding"))
+    val top = fsstspark.textops.AnnSearch.bruteForceTopK(
+      feats, feats.limit(3), "vec_id", "embedding", 5)
+    assert(top.count() == 15)
+    pages.unpersist()
+  }
+
+  test("frame sampling cuts deterministic windows") {
+    import spark.implicits._
+    val df = Seq(("a", Array.tabulate[Byte](41000)(i => (i % 251).toByte))).toDF("key", "payload")
+    val frames = Multimodal.sampleFrames(df, "key", "payload", frameBytes = 4096, stride = 2)
+    // 41000/4096 = 10 frames, stride 2 → indices 0,2,4,6,8
+    assert(frames.count() == 5)
+    assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.select(octet_length(col("frame"))).as[Int].collect().forall(_ == 4096))
+  }
+}
