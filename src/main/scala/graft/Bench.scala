@@ -13,13 +13,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "50000").toLong
-    val spark = SparkSession.builder()
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "20000").toLong
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill on tmpfs when available: a single local disk does not
+    // model a cluster's per-node NVMe and its writeback throttles the bench
+    if (new java.io.File("/dev/shm").isDirectory)
+      builder.config("spark.local.dir", "/dev/shm/fsst-bench-tmp")
+    val spark = builder.getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
@@ -39,7 +43,7 @@ object Bench {
     // Headline: encode + decode throughput over the generated pages corpus
     // (text + html columns), isolated from generation cost via cache().
     val pages = PagesGen.pages(spark, nPages, seed = 42L, skew = 0.002,
-      numPartitions = cpus.toInt * 2).cache()
+      numPartitions = cpus.toInt * 2, wordsScale = 6.0).cache()
     pages.count()
     val textKv = pages.select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
     val htmlKv = pages.select(col("url").as("key"), col("html").as("value")).as[KV]
