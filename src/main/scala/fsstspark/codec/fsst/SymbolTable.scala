@@ -165,14 +165,13 @@ final class FsstEncoder(table: SymbolTable) {
   // Direct-mapped hash table for 3..8-byte symbols, keyed on first 3 bytes.
   private val hashIcl = new Array[Long](HashTabSize)
   private val hashVal = new Array[Long](HashTabSize)
-  // Fast-path code limit: all learned 2-byte codes when the suffix
-  // optimisation is off, else only the unique-prefix range.
-  private val lim: Int = {
-    val h = table.lenHisto
-    val noSuffixOpt =
-      100 * h(1) > 65 * table.nSymbols && 100 * table.suffixLim > 95 * h(1)
-    if (noSuffixOpt) table.suffixLim else table.byteLim
-  }
+  // Fast-path code limit: only 2-byte symbols whose 2-byte prefix is
+  // globally unique (finalize layout) may short-circuit the longer-match
+  // probe — no 3..8-byte symbol can start with those two bytes, so
+  // greediness is preserved. Conflicting 2-byte symbols go through the
+  // hash probe first and surface via the shortCodes fallback, matching
+  // the reference's branched match order (/root/reference/table.go:656-719).
+  private val lim: Int = table.suffixLim
   private val tail = new Array[Byte](ChunkSize + ChunkPad)
 
   locally { // build lookup structures from the finalized symbols
@@ -240,6 +239,10 @@ final class FsstEncoder(table: SymbolTable) {
     var pos = from
     var out = dstPos0
     val lim0 = lim
+    val shortCodes = this.shortCodes
+    val byteCodes = this.byteCodes
+    val hashIcl = this.hashIcl
+    val hashVal = this.hashVal
     while (pos < to) {
       val word = Bytes.getLongLE(src, pos)
       val code: Int = shortCodes((word & 0xffff).toInt)

@@ -70,15 +70,47 @@ object EncodePipeline {
     // ~64MB partitions, capping the reduce stage (sort + train + encode —
     // the CPU-heavy part) at a handful of tasks regardless of cores.
     val parts = ds.sparkSession.sessionState.conf.numShufflePartitions
+    // Sort on chunk_id alone (single-long radix sort) — deterministic
+    // per-chunk order is restored by a cheap in-task sort of each chunk's
+    // keys, instead of making Spark's external sorter compare string keys
+    // for every row.
     ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
       .as[(Long, String, Array[Byte])]
       .repartition(parts, col("chunk_id"))
-      .sortWithinPartitions("chunk_id", "key")
+      .sortWithinPartitions("chunk_id")
       .mapPartitions { it =>
         groupByChunk(it).map { case (cid, keys, values) =>
+          sortByKey(keys, values)
           mkResult(cid, column, keys, values)
         }
       }
+  }
+
+  /** In-place co-sort of a chunk's keys and values by key (deterministic
+    * chunk content order independent of shuffle arrival order).
+    */
+  private def sortByKey[V](keys: Array[String], values: Array[V]): Unit = {
+    val sorted = Array.range(0, keys.length).sortBy(keys(_))
+    val k2 = keys.clone()
+    val v2 = values.clone()
+    var i = 0
+    while (i < sorted.length) {
+      keys(i) = k2(sorted(i))
+      values(i) = v2(sorted(i))
+      i += 1
+    }
+  }
+
+  private def sortLongsByKey(keys: Array[String], values: Array[Long]): Unit = {
+    val sorted = Array.range(0, keys.length).sortBy(keys(_))
+    val k2 = keys.clone()
+    val v2 = values.clone()
+    var i = 0
+    while (i < sorted.length) {
+      keys(i) = k2(sorted(i))
+      values(i) = v2(sorted(i))
+      i += 1
+    }
   }
 
   /** Zero-shuffle encode: chunks are consecutive runs of rows within each
@@ -178,9 +210,10 @@ object EncodePipeline {
     ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
       .as[(Long, String, Long)]
       .repartition(parts, col("chunk_id"))
-      .sortWithinPartitions("chunk_id", "key")
+      .sortWithinPartitions("chunk_id")
       .mapPartitions { it =>
         groupLongsByChunk(it).map { case (cid, keys, values) =>
+          sortLongsByKey(keys, values)
           val colv = LongCodec.LongColumn(values, new Array[Boolean](values.length))
           val enc = LongCodec.encodeAuto(colv)
           val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))

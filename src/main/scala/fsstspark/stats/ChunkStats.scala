@@ -40,7 +40,8 @@ object ByteEntropyAgg extends Aggregator[Array[Byte], Array[Long], Double] {
     }
     e
   }
-  def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 

@@ -109,6 +109,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(idCodecs.subsetOf(Set("for", "bitpack", "delta", "rle_long")), s"ids chose $idCodecs")
   }
 
+  test("TableIO: manifest carries chunk lineage, key pruning finds the right chunk") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tableio").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = Queries.docsKV(spark, sf)
+    val enc = EncodePipeline.encodeBytes(kv, "text", Queries.docChunk)
+    io.writeChunks(enc, "docs")
+    val man = io.manifest(spark, "docs")
+    assert(man.count() == enc.count())
+    assert(man.select("column").distinct().as[String].collect().toSeq == Seq("text"))
+    // pruning: the chunk containing doc 7 must decode doc 7
+    val hits = io.chunksForKey(spark, "docs", "7")
+    assert(hits.count() < man.count())
+    val dec = EncodePipeline.decodeBytes(hits).filter(col("key") === "7")
+    assert(dec.count() == 1)
+    // round-trip through the catalog
+    val all = io.readChunks(spark, "docs")
+    assert(EncodePipeline.verify(kv, EncodePipeline.decodeBytes(all))
+      .filter(!col("matched")).count() == 0)
+  }
+
   test("pages generator is deterministic and partitioning-independent") {
     val a = PagesGen.pages(spark, 200, seed = 7, numPartitions = 2).collect().sortBy(_.url)
     val b = PagesGen.pages(spark, 200, seed = 7, numPartitions = 13).collect().sortBy(_.url)
