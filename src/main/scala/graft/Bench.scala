@@ -35,6 +35,10 @@ object Bench {
       r
     }
 
+    // untimed session warmup (codegen, parquet reader, broadcast machinery)
+    // so the first query doesn't absorb cold-start
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try time(name)(fn(spark, sfDir).count())
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); results(name) = -1 }
