@@ -251,6 +251,14 @@ object Queries {
       .select(col("query_id"), col("id"), col("rank").cast("long").as("rank"))
   }
 
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    fsstspark.textops.AnnSearch.ivfTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        nCentroids = 32, nProbe = 8)
+      .select(col("query_id"), col("id"), col("rank").cast("long").as("rank"))
+  }
+
   /** The north-rule input shape end-to-end: a deterministic pages table
     * (url, warc_ts, html, text, lang), every column encoded through the
     * auto-selector, round-trip verified, metrics per (column, codec).

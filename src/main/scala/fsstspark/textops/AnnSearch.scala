@@ -76,6 +76,101 @@ object AnnSearch {
     bucket
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer trained by Lloyd's
+    * k-means on a deterministic bottom-k-by-hash sample partitions the
+    * corpus into centroid buckets (one narrow map with broadcast
+    * centroids); a query probes its `nProbe` nearest centroids and
+    * exact-reranks only those buckets' vectors. Candidate generation is
+    * an equi-join on centroid id — the classic IVF-Flat layout, which at
+    * cluster scale becomes a bucket-partitioned table and a pruned scan.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 64, nProbe: Int = 8, sampleK: Int = 2048,
+      iters: Int = 8
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // deterministic training sample: smallest xxhash64(id) wins — order-
+    // and partitioning-independent
+    val sample = base.orderBy(xxhash64(col("id"))).limit(sampleK)
+      .as[(Long, Array[Float])].collect().map(v => normalize(v._2))
+    val centroids = kmeans(sample, math.min(nCentroids, math.max(sample.length, 1)), iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assigned = base.as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestCentroids(bc.value, normalize(v), 1)(0), id, v) }
+      .toDF("centroid", "id", "vec")
+    val probes = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        nearestCentroids(bc.value, normalize(qv), nProbe).map(c => (c, qid, qv))
+      }
+      .toDF("centroid", "query_id", "query_vec")
+    val cand = assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id", "vec", "query_vec").distinct()
+    val scored = cand.select(col("query_id"), col("id"),
+      cosine(col("vec"), col("query_vec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val s = if (n == 0) 1.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) * s).toFloat; i += 1 }
+    out
+  }
+
+  /** Lloyd's k-means over unit vectors (L2 on unit sphere ≍ cosine).
+    * Deterministic: init = first k sample vectors, fixed iteration count,
+    * empty clusters re-seeded from the sample round-robin.
+    */
+  private[textops] def kmeans(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array(Array(1.0f))
+    val dim = sample(0).length
+    var centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      var s = 0
+      while (s < sample.length) {
+        val c = nearestCentroids(centroids, sample(s), 1)(0)
+        var d = 0
+        while (d < dim) { sums(c)(d) += sample(s)(d); d += 1 }
+        counts(c) += 1
+        s += 1
+      }
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0) sample(c % sample.length).clone()
+        else normalize(Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Indices of the `n` nearest centroids by dot product (unit vectors). */
+  private[textops] def nearestCentroids(centroids: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] = {
+    val scores = centroids.map { c =>
+      var dot = 0.0
+      var i = 0
+      val m = math.min(c.length, v.length)
+      while (i < m) { dot += c(i) * v(i); i += 1 }
+      dot
+    }
+    scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2)
+  }
+
   /** LSH-bucketed ANN: candidates share an SRP bucket in at least one of
     * `nTables` tables (equi-join on (table, bucket)), then exact cosine
     * re-rank of the candidate set. Recall < 1.0 by construction; raising

@@ -46,6 +46,7 @@ object SparkEntry {
     // similarity search over embeddings
     "ann_bruteforce" -> (Queries.annBruteforce _),
     "ann_lsh" -> (Queries.annLsh _),
+    "ann_ivf" -> (Queries.annIvf _),
     // the north-rule pages table end-to-end
     "pages_pipeline" -> (Queries.pagesPipeline _),
     // multimodal plumbing + streaming ingest front end

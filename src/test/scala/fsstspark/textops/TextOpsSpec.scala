@@ -96,6 +96,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L, 3L))
   }
 
+  test("IVF ANN recall on planted clusters beats LSH, near-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val dim = 64
+    val vecs = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 6).map { m =>
+        val v = center.zip(Array.fill(dim)(rnd.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b }
+        ((c * 6 + m).toLong, v)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 6 === 0).limit(10)
+    val exact = AnnSearch.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnSearch.ivfTopK(df, queries, "vec_id", "embedding", 5,
+        nCentroids = 32, nProbe = 4, sampleK = 240)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9 on clustered data")
+  }
+
   test("LSH ANN finds genuinely-near neighbors (planted clusters)") {
     import spark.implicits._
     // 40 cluster centers × 6 noisy members (cosine ≈ 0.95+): LSH must
