@@ -51,8 +51,15 @@ object BytesCodec {
     encodeFsstWith(values, table)
   }
 
-  def encodeFsstWith(values: Array[Array[Byte]], table: SymbolTable): Array[Byte] = {
-    val enc = table.newEncoder()
+  def encodeFsstWith(values: Array[Array[Byte]], table: SymbolTable): Array[Byte] =
+    encodeFsstWith(values, table, table.newEncoder())
+
+  /** Overload reusing an already-built encoder (the selector's estimate
+    * encoder — avoids building the ~190 KB lookup structures twice per
+    * chunk).
+    */
+  def encodeFsstWith(values: Array[Array[Byte]], table: SymbolTable,
+      enc: fsstspark.codec.fsst.FsstEncoder): Array[Byte] = {
     val tBytes = table.serialize()
     val orig = totalBytes(values)
     val out = new ByteArrayBuilder(orig.toInt / 2 + values.length + tBytes.length + 32)
@@ -284,21 +291,22 @@ object BytesCodec {
     val bestStructural = est.values.min
     val avgLen = s.totalBytes.toDouble / math.max(s.n - s.nNulls, 1)
     var table: SymbolTable = null
+    var tableEnc: fsstspark.codec.fsst.FsstEncoder = null
     if (avgLen >= 4 && bestStructural > s.totalBytes / 8) {
       val nonNull = if (s.nNulls == 0) values else values.filter(_ != null)
       table = FsstTrainer.train(nonNull)
-      val enc = table.newEncoder()
+      tableEnc = table.newEncoder()
       val sample = FsstTrainer.makeSample(nonNull)
       var sIn = 0L
       var sOut = 0L
-      sample.foreach { v => sIn += v.length; sOut += enc.encodeAll(v).length }
+      sample.foreach { v => sIn += v.length; sOut += tableEnc.encodeAll(v).length }
       val ratio = if (sIn == 0) 1.0 else sOut.toDouble / sIn
       est(FSST) = table.serialize().length.toLong + (ratio * s.totalBytes).toLong + s.n + 16
     }
     val chosen = est.toSeq.minBy { case (id, sz) => (sz, id) }._1
     val blob = chosen match {
       case RAW => encodeRaw(values)
-      case FSST => encodeFsstWith(values, table)
+      case FSST => encodeFsstWith(values, table, tableEnc)
       case DICT => encodeDict(values)
       case RLE => encodeRle(values)
     }
