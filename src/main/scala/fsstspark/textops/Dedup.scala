@@ -109,7 +109,8 @@ object Dedup {
     */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, k: Int = 3, m: Int = 64, r: Int = 4
+      threshold: Double = 0.8, k: Int = 3, m: Int = 64, r: Int = 4,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -128,8 +129,17 @@ object Dedup {
         }
         (id, bands)
       }.toDF("id", "bands")
-    // candidate pairs: docs sharing any band bucket (shuffle of small rows)
-    val buckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+    // candidate pairs: docs sharing any band bucket (shuffle of small rows).
+    // Degenerate buckets (boilerplate/empty docs hashing identically) are
+    // dropped before the self-join — at corpus scale one hot bucket of B
+    // docs would otherwise contribute B² candidate rows. Members of a
+    // dropped bucket still pair through their other b-1 bands unless they
+    // collide everywhere (i.e. are exact-dup-scale groups, which exact
+    // dedup handles more cheaply than pairwise enumeration).
+    val rawBuckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+    val hot = rawBuckets.groupBy("band", "bhash").count()
+      .filter(col("count") > maxBucketSize).drop("count")
+    val buckets = rawBuckets.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
     val l = buckets.as("l")
     val rgt = buckets.as("r")
     val cand = l.join(rgt,

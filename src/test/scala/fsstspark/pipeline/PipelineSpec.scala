@@ -143,6 +143,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(c.map(_.url).toSeq != a.map(_.url).toSeq)
   }
 
+  test("skew: a giant value becomes its own chunk, task input stays bounded") {
+    import spark.implicits._
+    val giant = "G" * (10 << 20) // one 10 MB value among 1 KB rows
+    val rows = (0 until 500).map(i => KV(f"k$i%04d", ("x" * 1000).getBytes)) :+
+      KV("kGIANT", giant.getBytes)
+    val kv = rows.toDS().repartition(4)
+    val target = 256L << 10
+    val enc = EncodePipeline.encodeBytesLocal(kv, "c", target).cache()
+    val rowsOut = enc.select("chunk_id", "n_rows", "bytes_in", "min_key", "max_key").collect()
+    // every chunk except those containing the giant is ≤ target + one value
+    val giantChunks = rowsOut.filter(r => r.getAs[String]("min_key") <= "kGIANT" && r.getAs[String]("max_key") >= "kGIANT")
+    rowsOut.foreach { r =>
+      val bytes = r.getAs[Long]("bytes_in")
+      if (!giantChunks.contains(r))
+        assert(bytes <= target + 1024, s"chunk ${r.getAs[Long]("chunk_id")} holds $bytes bytes")
+    }
+    // the giant row's chunk is dominated by the single value, not by accumulation
+    assert(giantChunks.exists(_.getAs[Long]("bytes_in") >= (10L << 20)))
+    assert(giantChunks.forall(_.getAs[Long]("bytes_in") <= (10L << 20) + target + 1024))
+    // and the whole thing still round-trips
+    val dec = EncodePipeline.decodeBytes(enc)
+    assert(EncodePipeline.verify(kv, dec).filter(!col("matched")).count() == 0)
+    enc.unpersist()
+  }
+
   test("pages pipeline roundtrips text and html incl. skew tail") {
     import spark.implicits._
     val pages = PagesGen.pages(spark, 500, seed = 3, skew = 0.02).cache()
