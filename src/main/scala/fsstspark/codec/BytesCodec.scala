@@ -223,13 +223,6 @@ object BytesCodec {
 
   final val DistinctCap = 4096
 
-  /** Values longer than this can never win with a chunk-local dictionary
-    * (dict ≥ distinctBytes; FSST beats it on any text-like data), so the
-    * distinct-tracking pass — which hashes every byte — is skipped and
-    * the column treated as effectively all-distinct.
-    */
-  final val DictMaxAvgLen = 256
-
   def stats(values: Array[Array[Byte]]): Stats = {
     // pass 1 (cheap): nulls, total bytes, run count
     var nulls = 0
@@ -242,10 +235,12 @@ object BytesCodec {
       if (i == 0 || !sameValue(v, values(i - 1))) runs += 1
       i += 1
     }
-    val avgLen = total / math.max(values.length - nulls, 1)
-    if (avgLen > DictMaxAvgLen)
-      return Stats(values.length, nulls, total, runs, DistinctCap, total, distinctCapped = true)
-    // pass 2 (hashes every byte): distinct tracking for dict sizing
+    // pass 2: distinct tracking for dict sizing. Work is bounded by the
+    // cap, not by value length: hashing stops the moment DistinctCap
+    // unique values have been seen (a high-cardinality chunk stops after
+    // ~4k values), while a genuinely low-cardinality chunk of long
+    // repeated values — exactly the case where a chunk-local dict wins by
+    // a mile over FSST — keeps counting and gets its dict estimate.
     var dBytes = 0L
     val seen = mutable.HashSet.empty[ByteKey]
     var capped = false

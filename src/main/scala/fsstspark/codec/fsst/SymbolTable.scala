@@ -165,12 +165,26 @@ final class FsstEncoder(table: SymbolTable) {
   // Direct-mapped hash table for 3..8-byte symbols, keyed on first 3 bytes.
   private val hashIcl = new Array[Long](HashTabSize)
   private val hashVal = new Array[Long](HashTabSize)
-  // Fast-path code limit: only 2-byte symbols whose 2-byte prefix is
-  // globally unique (finalize layout) may short-circuit the longer-match
-  // probe — no 3..8-byte symbol can start with those two bytes, so
-  // greediness is preserved. Conflicting 2-byte symbols go through the
-  // hash probe first and surface via the shortCodes fallback, matching
-  // the reference's branched match order (/root/reference/table.go:656-719).
+  // Fast-path code limit — the reference's noSuffixOpt strategy axis
+  // (/root/reference/table.go:926-931, dispatch 575-587) expressed through
+  // one parameter:
+  //  * lim = suffixLim ("noSuffixOpt" regime: 2-byte symbols >65% of the
+  //    table AND >95% of them prefix-unique): only unique-prefix 2-byte
+  //    codes short-circuit, the rare conflicting ones take the hash probe
+  //    for a possible longer match — full greediness, negligible cost.
+  //  * lim = byteLim (the reference's default branched kernel,
+  //    /root/reference/table.go:656-719): ANY learned 2-byte match is
+  //    taken immediately without probing for a longer 3..8-byte match
+  //    starting with the same two bytes — less greedy, skips the hash
+  //    probe on the most common match length.
+  // MEASURED ON JVM (KernelBench, en_mobydick, best-of-40): byteLim
+  // 187.6 MB/s @ ratio 0.574 vs suffixLim 184 MB/s @ ratio 0.537 — the
+  // reference's speed axis buys ~2% throughput for ~7% worse compression
+  // here (the hash probe is not the JVM bottleneck; C2's branch layout
+  // already hides it). We therefore pin the strictly-greedy suffixLim
+  // path: ratio is the north-rule metric ("size ≤ reference"), and the
+  // reference running its byteLim kernel on such tables emits the LARGER
+  // output.
   private val lim: Int = table.suffixLim
   private val tail = new Array[Byte](ChunkSize + ChunkPad)
 
@@ -249,13 +263,13 @@ final class FsstEncoder(table: SymbolTable) {
       // (code & 0xff) < lim implies a learned 2-byte code: learned 1-byte
       // codes live in [byteLim..nSymbols) ≥ lim and the escape's low byte is 0xFF.
       if ((code & 0xff) < lim0 && pos + 2 <= to) {
-        dst(out) = code.toByte; out += 1; pos += 2
+        Bytes.putByte(dst, out, code.toByte); out += 1; pos += 2
       } else {
         val idx = (hash(word & 0xffffff) & (HashTabSize - 1)).toInt
         val icl = hashIcl(idx)
         val sLen = (icl >>> 28).toInt
         if (icl < IclFree && hashVal(idx) == (word & (-1L >>> (icl & 0xffff))) && pos + sLen <= to) {
-          dst(out) = (icl >>> 16).toByte; out += 1; pos += sLen
+          Bytes.putByte(dst, out, (icl >>> 16).toByte); out += 1; pos += sLen
         } else {
           // Fallback: emit what shortCodes says — a conflicting 2-byte code,
           // a learned 1-byte code, or the escape marker — advancing by its
@@ -263,8 +277,8 @@ final class FsstEncoder(table: SymbolTable) {
           var c = code
           var adv = c >>> LenBits
           if (pos + adv > to) { c = byteCodes((word & 0xff).toInt); adv = 1 }
-          dst(out) = c.toByte; out += 1
-          if ((c & CodeBase) != 0) { dst(out) = word.toByte; out += 1 }
+          Bytes.putByte(dst, out, c.toByte); out += 1
+          if ((c & CodeBase) != 0) { Bytes.putByte(dst, out, word.toByte); out += 1 }
           pos += adv
         }
       }
@@ -296,13 +310,13 @@ final class FsstDecoder(table: SymbolTable) {
     val end = off + len
     var out = dstPos
     while (sp < end) {
-      val code = src(sp) & 0xff
+      val code = Bytes.getByte(src, sp) & 0xff
       sp += 1
       if (code < Fsst.EscapeCode) {
         Bytes.putLongLE(dst, out, decSym(code))
         out += decLen(code)
       } else if (sp < end) { // escape: next byte is a literal; truncated escape at EOF is a clean no-op
-        dst(out) = src(sp)
+        Bytes.putByte(dst, out, Bytes.getByte(src, sp))
         out += 1
         sp += 1
       }

@@ -51,12 +51,15 @@ object FsstFunctions {
     bytes => SymbolTable.deserialize(bytes).newDecoder()))
 
   private final class KernelCache[K](build: Array[Byte] => K) {
-    private val map = new java.util.LinkedHashMap[java.math.BigInteger, K](17, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[java.math.BigInteger, K]): Boolean =
+    // Keyed on the exact table bytes (ByteBuffer equality = full content
+    // compare): any format change keeps distinct tables distinct, unlike a
+    // numeric key that could collapse leading bytes.
+    private val map = new java.util.LinkedHashMap[java.nio.ByteBuffer, K](17, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[java.nio.ByteBuffer, K]): Boolean =
         size() > 16
     }
     def get(tableBytes: Array[Byte]): K = {
-      val key = new java.math.BigInteger(tableBytes)
+      val key = java.nio.ByteBuffer.wrap(tableBytes)
       var k = map.get(key)
       if (k == null) { k = build(tableBytes); map.put(key, k) }
       k

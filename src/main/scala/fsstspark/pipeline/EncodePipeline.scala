@@ -86,31 +86,47 @@ object EncodePipeline {
       }
   }
 
-  /** In-place co-sort of a chunk's keys and values by key (deterministic
-    * chunk content order independent of shuffle arrival order).
+  /** In-place co-sort of a chunk's keys and values by (key, value bytes) —
+    * the value tie-break makes chunk content order (and therefore blob
+    * bytes and content-derived chunk ids) deterministic even when callers
+    * feed duplicate keys, independent of shuffle arrival order.
     */
-  private def sortByKey[V](keys: Array[String], values: Array[V]): Unit = {
-    val sorted = Array.range(0, keys.length).sortBy(keys(_))
-    val k2 = keys.clone()
-    val v2 = values.clone()
+  private def sortByKey(keys: Array[String], values: Array[Array[Byte]]): Unit = {
+    val idx = new Array[Integer](keys.length)
     var i = 0
-    while (i < sorted.length) {
-      keys(i) = k2(sorted(i))
-      values(i) = v2(sorted(i))
-      i += 1
-    }
+    while (i < idx.length) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = keys(a).compareTo(keys(b))
+      if (c != 0) c else compareBytes(values(a), values(b))
+    })
+    permute(idx, keys, values)
   }
 
   private def sortLongsByKey(keys: Array[String], values: Array[Long]): Unit = {
-    val sorted = Array.range(0, keys.length).sortBy(keys(_))
+    val idx = new Array[Integer](keys.length)
+    var i = 0
+    while (i < idx.length) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = keys(a).compareTo(keys(b))
+      if (c != 0) c else java.lang.Long.compare(values(a), values(b))
+    })
+    val k2 = keys.clone()
+    val v2 = values.clone()
+    i = 0
+    while (i < idx.length) { keys(i) = k2(idx(i)); values(i) = v2(idx(i)); i += 1 }
+  }
+
+  @inline private def compareBytes(a: Array[Byte], b: Array[Byte]): Int =
+    if (a eq b) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else java.util.Arrays.compare(a, b)
+
+  private def permute[V](idx: Array[Integer], keys: Array[String], values: Array[V]): Unit = {
     val k2 = keys.clone()
     val v2 = values.clone()
     var i = 0
-    while (i < sorted.length) {
-      keys(i) = k2(sorted(i))
-      values(i) = v2(sorted(i))
-      i += 1
-    }
+    while (i < idx.length) { keys(i) = k2(idx(i)); values(i) = v2(idx(i)); i += 1 }
   }
 
   /** Zero-shuffle encode: chunks are consecutive runs of rows within each
@@ -130,38 +146,48 @@ object EncodePipeline {
       ds: Dataset[KV],
       column: String,
       targetChunkBytes: Long = 16L << 20,
-      completed: Set[Long] = Set.empty
+      completed: Array[Long] = Array.emptyLongArray
   ): Dataset[ChunkResult] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    // Completed ids travel as a broadcast sorted primitive array (8 B/id,
+    // shared per executor) — NOT inside the task closure, where ~6M ids at
+    // 100 TB / 16 MB chunks would serialize a multi-hundred-MB boxed set
+    // into every task.
+    val sorted = completed.clone()
+    java.util.Arrays.sort(sorted)
+    val done = spark.sparkContext.broadcast(sorted)
     ds.mapPartitions { it =>
+      val doneIds = done.value
       localChunks(it, targetChunkBytes).flatMap { case (keys, values) =>
         val cid = localChunkId(keys)
-        if (completed.contains(cid)) None
+        if (java.util.Arrays.binarySearch(doneIds, cid) >= 0) None
         else Some(mkResult(cid, column, keys, values))
       }
     }
   }
 
-  /** Deterministic content-derived chunk id: depends only on the chunk's
-    * first/last keys and row count, not on partition numbering.
+  /** Deterministic content-derived chunk id: an FNV-1a fold of EVERY key
+    * in the chunk (plus the row count), so two distinct chunks that happen
+    * to share first/last key cannot collide and be silently skipped by
+    * checkpoint resume.
     */
   def localChunkId(keys: Array[String]): Long = {
     var h = 1469598103934665603L
-    def mixStr(s: String): Unit = {
+    var k = 0
+    while (k < keys.length) {
+      val s = keys(k)
       var i = 0
       while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
       h = (h ^ 0xff) * 1099511628211L
+      k += 1
     }
-    mixStr(keys.head)
-    mixStr(keys.last)
     h ^ keys.length
   }
 
   private def mkResult(cid: Long, column: String, keys: Array[String],
       values: Array[Array[Byte]]): ChunkResult = {
-    val enc = BytesCodec.encodeAuto(values)
-    val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
+    val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob
     var mn = keys(0)
     var mx = keys(0)
     var i = 1
@@ -170,8 +196,22 @@ object EncodePipeline {
       if (keys(i) > mx) mx = keys(i)
       i += 1
     }
-    ChunkResult(cid, column, BytesCodec.names(enc.codec), values.length,
-      enc.bytesIn, enc.blob.length, mn, mx, keyBlob.blob, enc.blob)
+    mkBytesResult(cid, column, keys.length, mn, mx, keyBlob, values)
+  }
+
+  private def mkBytesResult(cid: Long, column: String, n: Int, mn: String,
+      mx: String, keyBlob: Array[Byte], values: Array[Array[Byte]]): ChunkResult = {
+    val enc = BytesCodec.encodeAuto(values)
+    ChunkResult(cid, column, BytesCodec.names(enc.codec), n,
+      enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob)
+  }
+
+  private def mkLongsResult(cid: Long, column: String, n: Int, mn: String,
+      mx: String, keyBlob: Array[Byte], values: Array[Long],
+      nulls: Array[Boolean]): ChunkResult = {
+    val enc = LongCodec.encodeAuto(LongCodec.LongColumn(values, nulls))
+    ChunkResult(cid, column, LongCodec.names(enc.codec), n,
+      enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob)
   }
 
   /** Cuts a partition's row stream into consecutive chunks of
@@ -223,6 +263,95 @@ object EncodePipeline {
       }
   }
 
+  /** One column of a multi-column encode pass: `value` must evaluate to
+    * BinaryType when `isLong` is false, to an integral/long type when true.
+    */
+  final case class ColSpec(name: String, value: Column, isLong: Boolean = false)
+
+  /** Single-pass multi-column encode (the shape a real table rewrite
+    * needs): ONE scan of the source and ONE shuffle on chunk_id carry all
+    * columns together; each chunk task sorts its rows once by key and
+    * encodes every column through its auto-selector, emitting one
+    * [[ChunkResult]] per (chunk, column). Compare N independent
+    * [[encodeBytes]] calls, which re-scan and re-shuffle the table once
+    * per column — N× the I/O for identical output.
+    *
+    * Keys must be unique per row (they are row identity for the verify
+    * join); chunk content order is the key sort, so results are
+    * deterministic regardless of shuffle arrival order.
+    */
+  def encodeColumns(
+      df: DataFrame,
+      key: Column,
+      chunkId: Column,
+      specs: Seq[ColSpec]
+  ): Dataset[ChunkResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sel = Seq(chunkId.cast("long").as("chunk_id"), key.cast("string").as("key")) ++
+      specs.zipWithIndex.map { case (sp, i) =>
+        (if (sp.isLong) sp.value.cast("long") else sp.value).as(s"c$i")
+      }
+    val names = specs.map(_.name).toArray
+    val isLong = specs.map(_.isLong).toArray
+    df.select(sel: _*)
+      .repartition(parts, col("chunk_id"))
+      .sortWithinPartitions("chunk_id")
+      .mapPartitions { rows =>
+        groupRowsByChunk(rows).flatMap { case (cid, chunk) =>
+          java.util.Arrays.sort(chunk, (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
+            a.getString(1).compareTo(b.getString(1)))
+          val n = chunk.length
+          val keys = new Array[String](n)
+          var i = 0
+          while (i < n) { keys(i) = chunk(i).getString(1); i += 1 }
+          val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob
+          val mn = keys(0)
+          val mx = keys(n - 1)
+          names.indices.iterator.map { ci =>
+            val fi = 2 + ci
+            if (isLong(ci)) {
+              val values = new Array[Long](n)
+              val nulls = new Array[Boolean](n)
+              var j = 0
+              while (j < n) {
+                if (chunk(j).isNullAt(fi)) nulls(j) = true
+                else values(j) = chunk(j).getLong(fi)
+                j += 1
+              }
+              mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls)
+            } else {
+              val values = new Array[Array[Byte]](n)
+              var j = 0
+              while (j < n) {
+                if (!chunk(j).isNullAt(fi)) values(j) = chunk(j).getAs[Array[Byte]](fi)
+                j += 1
+              }
+              mkBytesResult(cid, names(ci), n, mn, mx, keyBlob, values)
+            }
+          }
+        }
+      }
+  }
+
+  /** Streams rows sorted by chunk_id (field 0) into one buffered chunk at
+    * a time.
+    */
+  private def groupRowsByChunk(
+      it: Iterator[org.apache.spark.sql.Row]
+  ): Iterator[(Long, Array[org.apache.spark.sql.Row])] =
+    new Iterator[(Long, Array[org.apache.spark.sql.Row])] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): (Long, Array[org.apache.spark.sql.Row]) = {
+        val cid = in.head.getLong(0)
+        val rows = new ArrayBuffer[org.apache.spark.sql.Row]
+        while (in.hasNext && in.head.getLong(0) == cid) rows += in.next()
+        (cid, rows.toArray)
+      }
+    }
+
   /** Inverse of [[encodeBytes]]: keyed rows back out of the chunk blobs. */
   def decodeBytes(results: Dataset[ChunkResult]): Dataset[KV] = {
     val spark = results.sparkSession
@@ -251,6 +380,18 @@ object EncodePipeline {
     * `filter(!matched)` is empty or aggregate a mismatch count.
     */
   def verify(original: Dataset[KV], decoded: Dataset[KV]): DataFrame = {
+    val o = original.toDF("key", "original")
+    val d = decoded.toDF("key", "decoded")
+    o.join(d, Seq("key"), "full_outer")
+      .select(col("key"),
+        (col("original").isNotNull && col("decoded").isNotNull &&
+          col("original") === col("decoded")).as("matched"))
+  }
+
+  /** [[verify]] for long-typed columns — the same distributed full-outer
+    * join-compare; no driver-side collection at any scale.
+    */
+  def verifyLongs(original: Dataset[LongKV], decoded: Dataset[LongKV]): DataFrame = {
     val o = original.toDF("key", "original")
     val d = decoded.toDF("key", "decoded")
     o.join(d, Seq("key"), "full_outer")

@@ -137,8 +137,7 @@ object Dedup {
     // collide everywhere (i.e. are exact-dup-scale groups, which exact
     // dedup handles more cheaply than pairwise enumeration).
     val rawBuckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
-    val hot = rawBuckets.groupBy("band", "bhash").count()
-      .filter(col("count") > maxBucketSize).drop("count")
+    val hot = hotBuckets(rawBuckets.groupBy("band", "bhash").count(), maxBucketSize, "minhash")
     val buckets = rawBuckets.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
     val l = buckets.as("l")
     val rgt = buckets.as("r")
@@ -166,7 +165,8 @@ object Dedup {
     * (block_idx, block_value), never a cross join.
     */
   def simhashPairs(
-      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -176,13 +176,21 @@ object Dedup {
       .as[(String, String)]
       .map { case (id, t) => (id, simhash(if (t == null) "" else t)) }
       .toDF("id", "fp")
-    val blocks = fps.select(col("id"), col("fp"),
+    val rawBlocks = fps.select(col("id"), col("fp"),
       explode(array((0 until nBlocks).map { bi =>
         struct(lit(bi).as("block"),
           shiftrightunsigned(col("fp"), bi * width)
             .bitwiseAND(lit((1L << width) - 1)).as("bval"))
       }: _*)).as("blk"))
       .select(col("id"), col("fp"), col("blk.block"), col("blk.bval"))
+    // Same hot-bucket guard as minhash: boilerplate/empty docs share one
+    // block value, and a bucket of B docs is B² candidate rows in the
+    // self-join. Members of a dropped bucket still pair through their
+    // other blocks; a group colliding in EVERY block is an
+    // exact-duplicate-scale cluster, which exact dedup (md5 group-by)
+    // catches without pairwise enumeration.
+    val hot = hotBuckets(rawBlocks.groupBy("block", "bval").count(), maxBucketSize, "simhash")
+    val blocks = rawBlocks.join(broadcast(hot), Seq("block", "bval"), "left_anti")
     val l = blocks.as("l")
     val r = blocks.as("r")
     val cand = l.join(r,
@@ -193,5 +201,25 @@ object Dedup {
     cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+  }
+
+  /** Buckets over the cap, with visibility: the recall lost to dropped
+    * buckets is otherwise invisible in the output, so the count/size of
+    * dropped buckets is logged (the aggregated frame is tiny — one row
+    * per HOT bucket — so the extra action costs one cheap job).
+    */
+  private def hotBuckets(bucketCounts: DataFrame, maxBucketSize: Int,
+      tag: String): DataFrame = {
+    val hot = bucketCounts.filter(col("count") > maxBucketSize).persist()
+    val stats = hot.agg(count(lit(1)), sum("count")).head()
+    val nHot = stats.getLong(0)
+    if (nHot > 0) {
+      val rows = stats.getLong(1)
+      System.err.println(
+        s"[dedup/$tag] dropped $nHot hot bucket(s) totalling $rows member rows " +
+          s"(> $maxBucketSize docs/bucket); pairs confined to those buckets are " +
+          "not enumerated — route exact-duplicate groups through exact dedup")
+    }
+    hot.drop("count")
   }
 }

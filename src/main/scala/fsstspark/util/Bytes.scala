@@ -22,6 +22,16 @@ object Bytes {
   @inline def putLongLE(b: Array[Byte], i: Int, v: Long): Unit =
     Platform.putLong(b, Platform.BYTE_ARRAY_OFFSET + i, v)
 
+  /** Unchecked single-byte store for kernel hot loops whose output bound
+    * is guaranteed by construction (dst sized to `maxEncodedSize`).
+    */
+  @inline def putByte(b: Array[Byte], i: Int, v: Byte): Unit =
+    Platform.putByte(b, Platform.BYTE_ARRAY_OFFSET + i, v)
+
+  /** Unchecked single-byte load (callers guarantee bounds). */
+  @inline def getByte(b: Array[Byte], i: Int): Byte =
+    Platform.getByte(b, Platform.BYTE_ARRAY_OFFSET + i)
+
   /** Load up to `len` (1..8) bytes little-endian without reading past the end. */
   def getPartialLE(b: Array[Byte], i: Int, len: Int): Long = {
     var v = 0L

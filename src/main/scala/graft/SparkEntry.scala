@@ -40,6 +40,8 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
+    "dedup_minhash_planted" -> (Queries.dedupMinhashPlanted _),
+    "dedup_simhash_planted" -> (Queries.dedupSimhashPlanted _),
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
     "text_analysis" -> (Queries.textAnalysis _),
@@ -130,6 +132,68 @@ object SparkEntry {
          CAST(sum(length(text)) AS BIGINT) AS total_chars,
          CAST(sum(length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))) AS BIGINT) AS n_sentence_punct,
          CAST(sum(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_whitespace
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // Golden codec selection (verified stable across sf0.001/0.01/0.1:
+    // every hash chunk sees the same value distribution, so the selector
+    // picks the same codec in all 32 chunks): 1-char flags → dict,
+    // id columns → bitpack, shipdate (sorted-ish per order) → rle_long.
+    // bytes_in: byte columns count value bytes, long columns 8 B/row.
+    "lineitem_codec_selection" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+           CAST(sum(strlen(l_returnflag)) AS BIGINT) AS rf_b,
+           CAST(sum(strlen(l_linestatus)) AS BIGINT) AS ls_b
+           FROM lineitem)
+         SELECT * FROM (
+           SELECT 'l_linestatus' AS "column", 'dict' AS codec, CAST(32 AS BIGINT) AS n_chunks,
+                  nr AS n_rows, ls_b AS bytes_in FROM m
+           UNION ALL SELECT 'l_orderkey', 'bitpack', 32, nr, 8 * nr FROM m
+           UNION ALL SELECT 'l_partkey', 'bitpack', 32, nr, 8 * nr FROM m
+           UNION ALL SELECT 'l_returnflag', 'dict', 32, nr, rf_b FROM m
+           UNION ALL SELECT 'l_shipdate', 'rle_long', 32, nr, 8 * nr FROM m)
+         ORDER BY "column"""",
+    // pages table is synthesized from documents with SQL-expressible
+    // expressions (Queries.pagesFromDocs), so the whole pipeline's rows /
+    // chunks / input bytes / mismatch counts have exact oracles.
+    "pages_pipeline" ->
+      """WITH m AS (SELECT CAST(count(DISTINCT doc_id % 16) AS BIGINT) AS nc,
+           CAST(count(*) AS BIGINT) AS nr,
+           CAST(sum(strlen('https://' || source || '/doc/' || doc_id)) AS BIGINT) AS url_b,
+           CAST(sum(strlen(text)) AS BIGINT) AS text_b,
+           CAST(sum(strlen('<html><body><h1>https://' || source || '/doc/' || doc_id ||
+             '</h1><p>' || text || '</p></body></html>')) AS BIGINT) AS html_b
+           FROM documents)
+         SELECT * FROM (
+           SELECT 'html' AS "column", nc AS n_chunks, nr AS n_rows, html_b AS bytes_in,
+                  CAST(0 AS BIGINT) AS n_mismatch FROM m
+           UNION ALL SELECT 'text', nc, nr, text_b, 0 FROM m
+           UNION ALL SELECT 'url', nc, nr, url_b, 0 FROM m
+           UNION ALL SELECT 'warc_ts', nc, nr, 8 * nr, 0 FROM m)
+         ORDER BY "column"""",
+    "streaming_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_chunk_rows,
+         CAST(sum(strlen(text)) AS BIGINT) AS bytes_in,
+         CAST(0 AS BIGINT) AS n_mismatch FROM documents""",
+    "multimodal_features" ->
+      """SELECT 'image' AS media_type, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(strlen('<html><body><h1>https://' || source || '/doc/' || doc_id ||
+           '</h1><p>' || text || '</p></body></html>')) AS BIGINT) AS total_bytes
+         FROM documents""",
+    // recall thresholds asserted in-engine against the (oracled)
+    // brute-force top-10; the oracle pins every query to recall_ok=true.
+    "ann_lsh" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    "ann_ivf" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    // near-dup RECALL oracle: every planted (doc_id, doc_id+1000000) pair
+    // must be recovered by the LSH pipelines.
+    "dedup_minhash_planted" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""",
+    "dedup_simhash_planted" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 2000000 AS BIGINT) AS id_b
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a"""
   )
 }
