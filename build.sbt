@@ -26,7 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // batch-friendly GC: large short-lived byte[] churn, no latency SLO
+  // batch-friendly GC: large short-lived byte[] churn, no latency SLO.
+  // NewRatio=1 gives the young gen half the heap: the encode pipeline
+  // allocates chunk-sized byte[] that die within one task, and the
+  // default young gen (1/3) promoted them under load — measured on the
+  // 15 GB soak: GC 35-50% of wall at default vs 6-12% with a large young
+  // gen (throughput 0.5-1.0 → 1.5-2.0 GB/s).
   "-XX:+UseParallelGC",
+  "-XX:NewRatio=1",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

@@ -26,10 +26,26 @@ object BytesCodec {
 
   val names: Map[Int, String] = Map(RAW -> "raw", FSST -> "fsst", DICT -> "dict", RLE -> "rle")
 
+  // Per-thread reusable scratch builders: each chunk encode used to
+  // allocate (and promote to old gen, at 4-16 MB chunk sizes) two
+  // chunk-sized builders; Spark executor threads are long-lived, so the
+  // builders reach steady-state capacity after the first chunk and the
+  // soak job's GC share drops accordingly. Tasks are single-threaded and
+  // every public encode returns a fresh `result()` copy, so reuse never
+  // escapes. (A and B exist because encodeFsstWith needs two live at once.)
+  private val scratchA = ThreadLocal.withInitial[ByteArrayBuilder](() => new ByteArrayBuilder(1 << 16))
+  private val scratchB = ThreadLocal.withInitial[ByteArrayBuilder](() => new ByteArrayBuilder(1 << 16))
+  @inline private def freshA(sizeHint: Int): ByteArrayBuilder = {
+    val b = scratchA.get(); b.setLength(0); b.ensure(sizeHint); b
+  }
+  @inline private def freshB(sizeHint: Int): ByteArrayBuilder = {
+    val b = scratchB.get(); b.setLength(0); b.ensure(sizeHint); b
+  }
+
   // ---------------------------------------------------------------- encode
 
   def encodeRaw(values: Array[Array[Byte]]): Array[Byte] = {
-    val out = new ByteArrayBuilder(totalBytes(values).toInt + values.length * 2 + 16)
+    val out = freshA(totalBytes(values).toInt + values.length * 2 + 16)
     out.addByte(RAW)
     out.addVarInt(values.length)
     var i = 0
@@ -62,7 +78,7 @@ object BytesCodec {
       enc: fsstspark.codec.fsst.FsstEncoder): Array[Byte] = {
     val tBytes = table.serialize()
     val orig = totalBytes(values)
-    val out = new ByteArrayBuilder(orig.toInt / 2 + values.length + tBytes.length + 32)
+    val out = freshA(orig.toInt / 2 + values.length + tBytes.length + 32)
     out.addByte(FSST)
     out.addVarInt(values.length)
     out.addVarInt(tBytes.length)
@@ -70,7 +86,7 @@ object BytesCodec {
     out.addVarLong(orig)
     // encode every value into one scratch, recording lengths
     val lens = new Array[Int](values.length)
-    val data = new ByteArrayBuilder(orig.toInt / 2 + 64)
+    val data = freshB(orig.toInt / 2 + 64)
     var i = 0
     while (i < values.length) {
       val v = values(i)
@@ -111,7 +127,7 @@ object BytesCodec {
     val nDict = index.size
     i = 0
     while (i < values.length) { if (ids(i) < 0) ids(i) = nDict; i += 1 }
-    val out = new ByteArrayBuilder(64)
+    val out = freshA(64)
     out.addByte(DICT)
     out.addVarInt(values.length)
     out.addVarInt(nDict)
@@ -124,7 +140,7 @@ object BytesCodec {
 
   /** RLE payload: runs of [runLen][varint(len+1)][bytes]. */
   def encodeRle(values: Array[Array[Byte]]): Array[Byte] = {
-    val out = new ByteArrayBuilder(64)
+    val out = freshA(64)
     out.addByte(RLE)
     out.addVarInt(values.length)
     var i = 0
@@ -294,7 +310,13 @@ object BytesCodec {
       val sample = FsstTrainer.makeSample(nonNull)
       var sIn = 0L
       var sOut = 0L
-      sample.foreach { v => sIn += v.length; sOut += tableEnc.encodeAll(v).length }
+      var estDst = new Array[Byte](2048)
+      sample.foreach { v =>
+        sIn += v.length
+        val need = fsstspark.codec.fsst.Fsst.maxEncodedSize(v.length)
+        if (estDst.length < need) estDst = new Array[Byte](need)
+        sOut += tableEnc.encode(v, 0, v.length, estDst, 0)
+      }
       val ratio = if (sIn == 0) 1.0 else sOut.toDouble / sIn
       est(FSST) = table.serialize().length.toLong + (ratio * s.totalBytes).toLong + s.n + 16
     }

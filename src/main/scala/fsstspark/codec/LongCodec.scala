@@ -63,15 +63,22 @@ object LongCodec {
     }
   }
 
+  // Per-thread reusable scratch builder (see BytesCodec: chunk-sized
+  // builders were per-call garbage; executor threads are long-lived).
+  private val scratch = ThreadLocal.withInitial[ByteArrayBuilder](() => new ByteArrayBuilder(1 << 14))
+  @inline private def fresh(sizeHint: Int): ByteArrayBuilder = {
+    val b = scratch.get(); b.setLength(0); b.ensure(sizeHint); b
+  }
+
   def encodeRaw(col: LongColumn): Array[Byte] = {
-    val out = new ByteArrayBuilder(col.n * 8 + 16)
+    val out = fresh(col.n * 8 + 16)
     val v = header(out, RAW, col)
     BitPacker.pack(v, v.length, 64, out)
     out.result()
   }
 
   def encodeFor(col: LongColumn): Array[Byte] = {
-    val out = new ByteArrayBuilder(64)
+    val out = fresh(64)
     val v = header(out, FOR, col)
     var mn = if (v.nonEmpty) v(0) else 0L
     var mx = mn
@@ -88,7 +95,7 @@ object LongCodec {
   }
 
   def encodeBitpack(col: LongColumn): Array[Byte] = {
-    val out = new ByteArrayBuilder(64)
+    val out = fresh(64)
     val v = header(out, BITPACK, col)
     var mx = 0L
     var i = 0
@@ -100,7 +107,7 @@ object LongCodec {
   }
 
   def encodeRle(col: LongColumn): Array[Byte] = {
-    val out = new ByteArrayBuilder(64)
+    val out = fresh(64)
     out.addByte(RLE)
     out.addVarInt(col.n)
     out.addByte(0) // RLE encodes nulls as run tokens, not a bitmap
@@ -120,7 +127,7 @@ object LongCodec {
     * like sorted keys or event timestamps pack to a few bits per value).
     */
   def encodeDelta(col: LongColumn): Array[Byte] = {
-    val out = new ByteArrayBuilder(64)
+    val out = fresh(64)
     val v = header(out, DELTA, col)
     out.addZigZagLong(if (v.nonEmpty) v(0) else 0L)
     val d = new Array[Long](math.max(v.length - 1, 0))

@@ -30,6 +30,8 @@ object FsstFunctions {
       exprs => FsstEncodeExpr(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("fsst_decode",
       exprs => FsstDecodeExpr(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("fsst_decode_string",
+      exprs => FsstDecodeStringExpr(exprs.head, exprs(1)), "scala_udf")
     spark.udf.register("fsst_train", udaf(FsstTrainAgg))
   }
 
@@ -37,6 +39,12 @@ object FsstFunctions {
     call_function("fsst_encode", value, table)
   def fsst_decode(blob: Column, table: Column): Column =
     call_function("fsst_decode", blob, table)
+  /** Decode straight to `string` (the reference's `DecodeString`
+    * convenience, /root/reference/table.go:914-918) — saves callers the
+    * `decode(encode ..., 'UTF-8')` round-trip through binary.
+    */
+  def fsst_decode_string(blob: Column, table: Column): Column =
+    call_function("fsst_decode_string", blob, table)
   def fsst_train(value: Column): Column = call_function("fsst_train", value)
 
   // ------------------------------------------------------------ kernels
@@ -127,6 +135,31 @@ case class FsstDecodeExpr(left: Expression, right: Expression) extends FsstBinar
   override protected def kernelName: String = "decodeKernel"
   override protected def kernel(v: Array[Byte], t: Array[Byte]): Array[Byte] =
     FsstFunctions.decodeKernel(v, t)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `fsst_decode` straight to StringType: wraps the decoded bytes as a
+  * UTF8String without a separate cast/copy through the `decode(…,'UTF-8')`
+  * expression.
+  */
+case class FsstDecodeStringExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "fsst_decode_string"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, BINARY) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(blob: Any, table: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      FsstFunctions.decodeKernel(blob.asInstanceOf[Array[Byte]], table.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t) =>
+      "org.apache.spark.unsafe.types.UTF8String.fromBytes(" +
+        s"fsstspark.functions.FsstFunctions$$.MODULE$$.decodeKernel($b, $t))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

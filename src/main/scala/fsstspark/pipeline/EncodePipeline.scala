@@ -375,6 +375,22 @@ object EncodePipeline {
     }
   }
 
+  /** Null-preserving variant of [[decodeLongs]] for nullable long columns
+    * (the codec blob carries a null bitmap; this surfaces it as `None`).
+    */
+  def decodeLongsNullable(results: Dataset[ChunkResult]): Dataset[(String, Option[Long])] = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    results.flatMap { r =>
+      val keys = BytesCodec.decode(r.key_blob)
+      val col = LongCodec.decode(r.value_blob)
+      Iterator.tabulate(keys.length) { i =>
+        (new String(keys(i), "UTF-8"),
+          if (col.nulls(i)) None else Some(col.values(i)))
+      }
+    }
+  }
+
   /** N10 join-and-compare: decoded vs original, per-key bit-identity.
     * Returns one row per key with a `matched` flag; callers assert
     * `filter(!matched)` is empty or aggregate a mismatch count.

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * then `reps` timed passes; best is reported (least interference).
   * Efficiency = (T_N / T_4N) / 4 — 1.0 is perfectly linear.
   *
-  * Usage: runMain fsstspark.tools.ScalingBench [nPages] [cpusCsv] [reps] [corpusDir]
+  * Usage: runMain fsstspark.tools.ScalingBench [nPages] [cpusCsv] [reps] [corpusDir] [modesCsv]
   * Run each cpu level in its own JVM and put corpusDir + SPARK_LOCAL_DIRS
   * on tmpfs so disk writeback doesn't serialize runs.
   */
@@ -35,6 +35,8 @@ object ScalingBench {
     val reps = if (args.length > 2) args(2).toInt else 3
     val corpusDir = (if (args.length > 3) args(3) else "/dev/shm/fsst-corpus") +
       s"/pages_${nPages}"
+    val wantModes = (if (args.length > 4) args(4) else "scan,local,shuffle")
+      .split(",").map(_.trim).toSet
 
     // generate-once: deterministic corpus shared by all levels
     if (!new java.io.File(corpusDir + "/_SUCCESS").exists()) {
@@ -90,7 +92,7 @@ object ScalingBench {
           EncodePipeline.encodeBytes(htmlKv, "html", chunk)
             .agg(sum("bytes_in")).head().getLong(0))
       )
-      for ((mode, runOnce) <- modes) {
+      for ((mode, runOnce) <- modes if wantModes(mode)) {
         val bytesIn = runOnce() // warmup, untimed
         def gcMillis: Long = {
           var t = 0L
@@ -119,7 +121,7 @@ object ScalingBench {
     }
     val cs = cpuLevels.sorted
     if (cs.length >= 2) {
-      for (mode <- Seq("scan", "local", "shuffle")) {
+      for (mode <- Seq("scan", "local", "shuffle") if wantModes(mode)) {
         val (tLow, _) = out((cs.head, mode))
         val (tHigh, bytes) = out((cs.last, mode))
         val factor = cs.last.toDouble / cs.head

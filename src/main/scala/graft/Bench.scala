@@ -54,10 +54,15 @@ object Bench {
     val nChunks = math.max(64, (nPages / 2000).toInt)
     val chunk = EncodePipeline.chunkIdByHash(col("key"), nChunks)
 
-    // zero-shuffle partition-local chunking (the Iceberg-rewrite job shape)
-    var bytesLocal = 0L
+    // untimed warmup of BOTH encode paths (JIT + codegen + shuffle machinery)
     EncodePipeline.encodeBytesLocal(textKv, "text", 4L << 20)
-      .agg(sum("bytes_in")).head() // warmup (JIT + codegen)
+      .agg(sum("bytes_in")).head()
+    EncodePipeline.encodeBytes(textKv, "text", chunk)
+      .agg(sum("bytes_in")).head()
+
+    // zero-shuffle partition-local chunking (the Iceberg-rewrite job shape)
+    System.gc()
+    var bytesLocal = 0L
     time("pages_encode_local") {
       bytesLocal = EncodePipeline.encodeBytesLocal(textKv, "text", 4L << 20)
         .agg(sum("bytes_in")).head().getLong(0) +
@@ -65,16 +70,27 @@ object Bench {
           .agg(sum("bytes_in")).head().getLong(0)
     }
 
+    // hash-chunked shuffle path, timed WITHOUT cache materialization mixed
+    // in (the r1 shape cached inside the timed block, so the number mixed
+    // encode work with block-manager writes)
+    System.gc()
     var bytesIn = 0L
     var bytesOut = 0L
-    val encText = EncodePipeline.encodeBytes(textKv, "text", chunk).cache()
-    val encHtml = EncodePipeline.encodeBytes(htmlKv, "html", chunk).cache()
     time("pages_encode") {
-      val a = encText.agg(sum("bytes_in"), sum("bytes_out")).head()
-      val b = encHtml.agg(sum("bytes_in"), sum("bytes_out")).head()
+      val a = EncodePipeline.encodeBytes(textKv, "text", chunk)
+        .agg(sum("bytes_in"), sum("bytes_out")).head()
+      val b = EncodePipeline.encodeBytes(htmlKv, "html", chunk)
+        .agg(sum("bytes_in"), sum("bytes_out")).head()
       bytesIn = a.getLong(0) + b.getLong(0)
       bytesOut = a.getLong(1) + b.getLong(1)
     }
+
+    // decode timed against cached chunk blobs (untimed materialization),
+    // so the number is decode work, not re-encode
+    val encText = EncodePipeline.encodeBytes(textKv, "text", chunk).cache()
+    val encHtml = EncodePipeline.encodeBytes(htmlKv, "html", chunk).cache()
+    encText.count(); encHtml.count()
+    System.gc()
     var bytesDecoded = 0L
     time("pages_decode") {
       bytesDecoded = EncodePipeline.decodeBytes(encText.union(encHtml))

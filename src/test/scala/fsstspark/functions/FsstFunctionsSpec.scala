@@ -41,6 +41,16 @@ class FsstFunctionsSpec extends AnyFunSuite {
       "bottom-k sample must make training order/partitioning independent")
   }
 
+  test("fsst_decode_string decodes straight to string, codegen-clean") {
+    val tbl = docs.agg(FsstFunctions.fsst_train(col("v"))).head().getAs[Array[Byte]](0)
+    val rt = docs.select(decode(col("v"), "UTF-8").as("s"),
+      FsstFunctions.fsst_decode_string(
+        FsstFunctions.fsst_encode(col("v"), lit(tbl)), lit(tbl)).as("rt"))
+    assert(rt.filter(col("s") =!= col("rt")).count() == 0)
+    assert(rt.schema("rt").dataType == org.apache.spark.sql.types.StringType)
+    assert(rt.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
   test("fsst functions usable from SQL text") {
     docs.createOrReplaceTempView("fsst_docs")
     val row = spark.sql(

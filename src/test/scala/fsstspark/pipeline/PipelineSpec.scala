@@ -27,6 +27,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(dec.count() == kv.count())
   }
 
+  test("encodeColumns: one pass encodes byte + long columns, round-trips, handles nulls") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"),
+        // a long column with planted nulls
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("n_chars")).as("len_or_null"))
+    val enc = EncodePipeline.encodeColumns(df, col("doc_id"), pmod(col("doc_id"), lit(8L)),
+      Seq(EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+        EncodePipeline.ColSpec("lang", encode(col("lang"), "UTF-8")),
+        EncodePipeline.ColSpec("len_or_null", col("len_or_null"), isLong = true))).cache()
+    // one ChunkResult per (chunk, column); all three columns share chunks
+    val perCol = enc.groupBy("column").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perCol.keySet == Set("text", "lang", "len_or_null"))
+    assert(perCol.values.toSet.size == 1, s"column chunk counts diverge: $perCol")
+    // byte columns round-trip bit-identical
+    for (c <- Seq("text", "lang")) {
+      val orig = df.select(col("doc_id").cast("string").as("key"),
+        encode(col(c), "UTF-8").as("value")).as[KV]
+      val dec = EncodePipeline.decodeBytes(enc.filter(col("column") === c))
+      assert(EncodePipeline.verify(orig, dec).filter(!col("matched")).count() == 0, s"$c mismatch")
+    }
+    // long column round-trips including nulls (null rows absent from decode output values? —
+    // decodeLongs emits every key; null-ness must round-trip through the codec bitmap)
+    val decL = EncodePipeline.decodeLongsNullable(enc.filter(col("column") === "len_or_null"))
+    val origL = df.select(col("doc_id").cast("string").as("key"), col("len_or_null").as("value"))
+    val joined = origL.join(decL.toDF("key", "decoded"), Seq("key"), "full_outer")
+    val bad = joined.filter(!(col("value") <=> col("decoded"))).count()
+    assert(bad == 0, "long column (with nulls) mismatch")
+    enc.unpersist()
+  }
+
   test("verify() detects a corrupted value") {
     import spark.implicits._
     val kv = Queries.docsKV(spark, sf)

@@ -48,6 +48,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
   }
 
+  test("simhash hot-bucket cap: 1k identical docs do not explode into pairwise candidates") {
+    import spark.implicits._
+    // 1000 empty/boilerplate docs share one fingerprint → every block
+    // bucket is degenerate; without the cap the self-join would emit
+    // ~500k candidate pairs. With the cap the job stays tiny and emits
+    // none of those pairs (they are exact-dup-scale, routed to exact
+    // dedup), while genuinely near pairs outside hot buckets survive.
+    val boiler = (0 until 1000).map(i => (i.toLong, "the same boilerplate text"))
+    val realA = (5000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    // token-identical (formatting-only) variant → hamming 0 by construction
+    val realB = (5001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa  ")
+    val docs = (boiler :+ realA :+ realB).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = 100).collect()
+    assert(pairs.length < 50, s"degenerate bucket leaked ${pairs.length} pairs")
+    val ids = pairs.map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
+    assert(ids.contains((5000L, 5001L)), "genuine near-pair outside hot buckets was lost")
+  }
+
   test("exact jaccard + shingles behave on edges") {
     assert(Dedup.exactJaccard(Array.empty, Array.empty) == 1.0)
     val a = Dedup.shingles("one two three four five")
