@@ -86,6 +86,43 @@ object Checkpoint {
     n
   }
 
+  /** Multi-column resume for [[EncodePipeline.encodeColumns]] jobs: a
+    * chunk counts as done only when EVERY column of the pass is present
+    * (task output is all-or-nothing per chunk, but a killed run may have
+    * committed a partial append), pending rows are filtered BEFORE the
+    * encode (broadcast anti-join on chunk id — no wasted encode work),
+    * and the freshly encoded results are additionally anti-joined against
+    * the existing (chunk, column) pairs so a partially-written chunk
+    * re-encodes without duplicating rows.
+    */
+  def resumeColumns(
+      df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      chunkId: org.apache.spark.sql.Column,
+      specs: Seq[EncodePipeline.ColSpec],
+      path: String
+  ): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val done = completed(spark, path) // (chunk_id, column) distinct
+    val fullDone = done.groupBy("chunk_id").count()
+      .filter(col("count") === specs.size.toLong)
+      .select(col("chunk_id").as("done_chunk_id"))
+    val pendingRows = df
+      .withColumn("__chunk", chunkId.cast("long"))
+      .join(broadcast(fullDone), col("__chunk") === col("done_chunk_id"), "left_anti")
+      .drop("__chunk", "done_chunk_id")
+    val enc = EncodePipeline.encodeColumns(pendingRows, key, chunkId, specs)
+      .join(broadcast(done.withColumnRenamed("chunk_id", "c").withColumnRenamed("column", "n")),
+        col("chunk_id") === col("c") && col("column") === col("n"), "left_anti")
+      .as[ChunkResult]
+    enc.persist()
+    val n = enc.count()
+    if (n > 0) write(enc, path)
+    enc.unpersist()
+    n
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -58,6 +58,35 @@ class PipelineSpec extends AnyFunSuite {
     enc.unpersist()
   }
 
+  test("resumeColumns completes a partial multi-column checkpoint to the uninterrupted result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-cols").toString + "/t"
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val chunk = pmod(col("doc_id"), lit(8L))
+    val specs = Seq(
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("n_chars", col("n_chars"), isLong = true))
+    // simulate a killed run: full results for even chunks, plus a PARTIAL
+    // chunk (only one of the two columns of chunk 1 committed)
+    val full = EncodePipeline.encodeColumns(df, col("doc_id"), chunk, specs).cache()
+    Checkpoint.write(full.filter(col("chunk_id") % 2 === 0), dir)
+    Checkpoint.write(full.filter(col("chunk_id") === 1 && col("column") === "text"), dir)
+    val n = Checkpoint.resumeColumns(df, col("doc_id"), chunk, specs, dir)
+    // resumed: 3 odd chunks × 2 columns + the missing column of chunk 1
+    assert(n == 7, s"expected 7 resumed results, got $n")
+    val all = Checkpoint.read(spark, dir)
+    assert(all.count() == 16) // 8 chunks × 2 columns, no duplicates
+    assert(all.select("chunk_id", "column").distinct().count() == 16)
+    // decoded text identical to a clean one-shot run
+    val dec = EncodePipeline.decodeBytes(all.filter(col("column") === "text"))
+    val orig = df.select(col("doc_id").cast("string").as("key"),
+      encode(col("text"), "UTF-8").as("value")).as[KV]
+    assert(EncodePipeline.verify(orig, dec).filter(!col("matched")).count() == 0)
+    // second resume is a no-op
+    assert(Checkpoint.resumeColumns(df, col("doc_id"), chunk, specs, dir) == 0)
+    full.unpersist()
+  }
+
   test("verify() detects a corrupted value") {
     import spark.implicits._
     val kv = Queries.docsKV(spark, sf)
