@@ -426,6 +426,31 @@ object Queries {
       .select(col("n_rows"), col("n_chunk_rows"), col("bytes_in"), col("n_mismatch"))
   }
 
+  /** The 100 TB point-read path: chunks land in the Iceberg-shaped
+    * catalog ([[fsstspark.io.ParquetTableIO]]: partitioned data files +
+    * manifest), and a key lookup prunes at the MANIFEST level (min/max
+    * key ranges) so only the chunks that can contain the key are read and
+    * decoded — never the whole table. DuckDB-oracled: decoded text must
+    * equal the source rows byte-for-byte.
+    */
+  def qPointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tableio-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    // zero-padded keys make string min/max ranges order-consistent
+    val kv = documents(s, dir)
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("text"), "UTF-8").as("value")).as[KV]
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "text", 32L << 10), "docs")
+    val hits = Seq(7L, 23L, 41L).map { k =>
+      val key = f"$k%08d"
+      EncodePipeline.decodeBytes(io.chunksForKey(s, "docs", key))
+        .filter(col("key") === key)
+    }.reduce(_ unionByName _)
+    hits.select(col("key").cast("long").as("doc_id"),
+      decode(col("value"), "UTF-8").as("text")).orderBy("doc_id")
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -35,6 +35,7 @@ object SparkEntry {
     "q1_agg" -> (Queries.q1Agg _),
     "q_join_agg" -> (Queries.qJoinAgg _),
     "q_topk_docs" -> (Queries.qTopkDocs _),
+    "q_point_lookup" -> (Queries.qPointLookup _),
     "q_window_runs" -> (Queries.qWindowRuns _),
     // training-data ops
     "dedup_exact" -> (Queries.dedupExact _),
@@ -102,6 +103,9 @@ object SparkEntry {
     "q_topk_docs" ->
       """SELECT doc_id, n_chars, lang FROM documents
          ORDER BY n_chars DESC, doc_id LIMIT 20""",
+    "q_point_lookup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         WHERE doc_id IN (7, 23, 41) ORDER BY doc_id""",
     "q_window_runs" ->
       """SELECT chunk_id, CAST(sum(CASE WHEN prev IS NULL OR prev <> lang
          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
