@@ -269,6 +269,47 @@ object Queries {
       docs.unionByName(dups), "doc_id", "text", maxHamming = 3), 2000000L)
   }
 
+  /** Embedding-cosine near-dup over the embeddings table with planted
+    * exact-copy vectors (vec_id+1000000): only the planted pairs can
+    * reach cosine ≥ 0.95 (the synthetic embeddings are near-uniform, top
+    * natural cosine ≈ 0.3), so the FULL output is oracle-exact — recall
+    * (every planted pair found through the SRP buckets) and precision
+    * (no natural pair passes) in one check.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val withDups = emb.unionByName(
+      emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000))
+    fsstspark.textops.Dedup.embeddingPairs(withDups, "vec_id", "embedding",
+        threshold = 0.95)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The n-gram Jaccard metric end-to-end on the planted near-dup pairs:
+    * candidate GENERATION at scale belongs to minhash/simhash/embedding
+    * LSH; this query verifies the exact word-shingle Jaccard computation
+    * itself — every planted pair must clear the similarity floor
+    * ((T-2)/(T+1) ≥ 0.75 at the corpus' shortest planted doc).
+    */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = docsWithNearDups(s, dir)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select((col("doc_id") - 1000000).as("join_id"),
+      col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_a") === col("join_id"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (ia, ib, ta, tb) =>
+        (ia, ib, fsstspark.textops.Dedup.exactJaccard(
+          fsstspark.textops.Dedup.shingles(ta), fsstspark.textops.Dedup.shingles(tb)))
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= 0.3)
+      .select("id_a", "id_b").orderBy("id_a")
+  }
+
   def textAnalysis(s: SparkSession, dir: String): DataFrame =
     fsstspark.textops.TextAnalysis.analyze(documents(s, dir), "doc_id", "text")
       .groupBy("predicted_lang")

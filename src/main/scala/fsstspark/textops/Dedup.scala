@@ -203,6 +203,45 @@ object Dedup {
       .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
   }
 
+  /** Embedding-cosine near-duplicate pairs: documents whose embedding
+    * vectors have cosine ≥ `threshold`. Scale shape mirrors the other LSH
+    * dedups — signed-random-projection buckets ([[AnnSearch.srpBucket]])
+    * generate candidates via an equi-join on (table, bucket) with the
+    * hot-bucket guard, ids-only candidates are deduped, vectors join back
+    * for the exact cosine (codegen expression) on candidates only. Never
+    * an all-pairs cross join.
+    */
+  def embeddingPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, nBits: Int = 12, nTables: Int = 8,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val buckets0 = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        Iterator.tabulate(nTables)(t => (id, t, AnnSearch.srpBucket(v, nBits, t)))
+      }
+      .toDF("id", "table", "bucket")
+    val hot = hotBuckets(buckets0.groupBy("table", "bucket").count(), maxBucketSize, "embedding")
+    val buckets = buckets0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    val cand = l.join(r,
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val vv = vecs.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    cand
+      .join(vv.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "vec_a"), "id_a")
+      .join(vv.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vec_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        AnnSearch.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Buckets over the cap, with visibility: the recall lost to dropped
     * buckets is otherwise invisible in the output, so the count/size of
     * dropped buckets is logged (the aggregated frame is tiny — one row

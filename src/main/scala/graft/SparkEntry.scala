@@ -43,6 +43,8 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_minhash_planted" -> (Queries.dedupMinhashPlanted _),
     "dedup_simhash_planted" -> (Queries.dedupSimhashPlanted _),
+    "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_ngram" -> (Queries.dedupNgram _),
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
     "text_analysis" -> (Queries.textAnalysis _),
@@ -198,6 +200,12 @@ object SparkEntry {
          FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""",
     "dedup_simhash_planted" ->
       """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 2000000 AS BIGINT) AS id_b
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""",
+    "dedup_embedding" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
+         FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""",
+    "dedup_ngram" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b
          FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a"""
   )
 }

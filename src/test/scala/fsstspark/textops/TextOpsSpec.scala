@@ -67,6 +67,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids.contains((5000L, 5001L)), "genuine near-pair outside hot buckets was lost")
   }
 
+  test("embedding-cosine dedup finds noise-perturbed near-dups, no orthogonal false positives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 40).map(i => (i.toLong, unit(Array.fill(dim)(rnd.nextGaussian().toFloat))))
+    // planted near-dups: small additive noise (cosine ≈ 0.995)
+    val dups = base.filter(_._1 % 4 == 0).map { case (id, v) =>
+      (id + 1000, unit(v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)))
+    }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    // 8-bit buckets × 16 tables: at cosine ≈0.985 the per-table bucket
+    // match rate is ~0.6, so missing all 16 tables is ~1e-6 per pair
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.9,
+      nBits = 8, nTables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.map(_._1).filter(_ % 4 == 0).map(i => (i, i + 1000)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted near-dups: ${planted -- pairs}")
+    // independent gaussian unit vectors at dim 32: cosine ≥0.9 is astronomically unlikely
+    assert(pairs == planted, s"false positives: ${pairs -- planted}")
+  }
+
   test("exact jaccard + shingles behave on edges") {
     assert(Dedup.exactJaccard(Array.empty, Array.empty) == 1.0)
     val a = Dedup.shingles("one two three four five")
