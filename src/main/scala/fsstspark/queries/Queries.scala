@@ -110,8 +110,21 @@ object Queries {
         col("max_len").cast("long").as("max_len"), col("n_distinct"))
       .orderBy("chunk_id")
 
+  /** Selector-facing profile with the sketch outputs surfaced as
+    * oracle-checkable booleans: the HLL++ estimate must sit within 15% of
+    * the exact distinct count (default rsd is 5%), and byte entropy of
+    * English-ish text must land in [3.0, 6.0] bits/byte — wide enough to
+    * be scale-stable, tight enough that a broken histogram merge or
+    * sketch fails the compare. Exact columns (rows/bytes) oracle exactly.
+    */
   def chunkProfile(s: SparkSession, dir: String): DataFrame =
     ChunkStats.profile(documents(s, dir), pmod(col("doc_id"), lit(NChunks.toLong)), col("text"))
+      .join(ChunkStats.basic(documents(s, dir), pmod(col("doc_id"), lit(NChunks.toLong)), col("text"))
+        .select(col("chunk_id"), col("n_distinct")), "chunk_id")
+      .select(col("chunk_id"), col("n_rows"), col("total_bytes"),
+        (abs(col("approx_distinct") - col("n_distinct")) <=
+          col("n_distinct") * 0.15).as("hll_ok"),
+        col("entropy_bits_per_byte").between(3.0, 6.0).as("entropy_ok"))
       .orderBy("chunk_id")
 
   // ------------------------------------------- long codecs (N3, N4, FoR/delta)

