@@ -330,4 +330,13 @@ final class FsstDecoder(table: SymbolTable) {
     val n = decode(src, 0, src.length, dst, 0)
     java.util.Arrays.copyOf(dst, n)
   }
+
+  /** Decode straight to a String (the reference's `DecodeString`
+    * convenience, /root/reference/table.go:914-918).
+    */
+  def decodeString(src: Array[Byte]): String = {
+    val dst = new Array[Byte](src.length * 8 + 8)
+    val n = decode(src, 0, src.length, dst, 0)
+    new String(dst, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }

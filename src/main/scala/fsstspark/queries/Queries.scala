@@ -323,6 +323,12 @@ object Queries {
       .select("id_a", "id_b").orderBy("id_a")
   }
 
+  /** Rows-only by necessity: the testdata `lang` column is random
+    * metadata over language-free synthetic word soup (verified: the same
+    * English-ish token stream under every label), so there is no ground
+    * truth to oracle the heuristic against here; accuracy on genuine
+    * stopword-bearing sentences is asserted in TextOpsSpec.
+    */
   def textAnalysis(s: SparkSession, dir: String): DataFrame =
     fsstspark.textops.TextAnalysis.analyze(documents(s, dir), "doc_id", "text")
       .groupBy("predicted_lang")

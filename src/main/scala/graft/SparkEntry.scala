@@ -12,11 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship: full encode→decode round-trip of documents.text with the
-    * codec auto-selector, reported per codec. Driver smoke-checks rows>0.
+  /** Flagship: the north-rule pages pipeline end-to-end — all four
+    * columns (url/text/html/warc_ts) encoded in one scan + one shuffle
+    * through the auto-selector and round-trip-verified with distributed
+    * join-compares. Driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame =
-    Queries.pipeCodecMix(spark, "/root/testdata/sf0.001")
+    Queries.pagesPipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // core compression pipeline (SURVEY.md §2.1 R1-R15 + §2.2 N6-N10)
