@@ -107,10 +107,17 @@ object Dedup {
     * @param threshold exact word-k-shingle Jaccard cutoff for a pair
     * @param m         signature length; bands of `r` rows → b = m/r bands
     */
+  /** @param hotBucketSample when > 0, hot buckets are SAMPLED down to this
+    *   many members (deterministic smallest-hash winners) instead of
+    *   dropped entirely — partial recall inside degenerate buckets at a
+    *   bounded sample² candidate cost. 0 (default) drops hot buckets:
+    *   their members are exact-dup-scale groups, which exact dedup
+    *   handles without pairwise enumeration.
+    */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 3, m: Int = 64, r: Int = 4,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000, hotBucketSample: Int = 0
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -138,7 +145,20 @@ object Dedup {
     // dedup handles more cheaply than pairwise enumeration).
     val rawBuckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
     val hot = hotBuckets(rawBuckets.groupBy("band", "bhash").count(), maxBucketSize, "minhash")
-    val buckets = rawBuckets.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
+    val cold = rawBuckets.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
+    val buckets =
+      if (hotBucketSample <= 0) cold
+      else {
+        // deterministic sample per hot bucket: the `hotBucketSample`
+        // members with the smallest id-hash survive (shuffle only of the
+        // hot-bucket rows; candidate cost bounded at sample²/2 per bucket)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bhash").orderBy(xxhash64(col("id"), col("bhash")), col("id"))
+        val sampled = rawBuckets.join(broadcast(hot), Seq("band", "bhash"), "left_semi")
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= hotBucketSample).drop("__rk")
+        cold.unionByName(sampled)
+      }
     val l = buckets.as("l")
     val rgt = buckets.as("r")
     val cand = l.join(rgt,

@@ -67,6 +67,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids.contains((5000L, 5001L)), "genuine near-pair outside hot buckets was lost")
   }
 
+  test("minhash hot-bucket sampling fallback recovers pairs inside degenerate buckets, bounded") {
+    import spark.implicits._
+    // 500 identical docs: all buckets degenerate. Drop mode finds nothing;
+    // sampling mode recovers sample²/2-bounded pairs from inside them.
+    val docs = (0 until 500).map(i => (i.toLong, "all the same boilerplate text here")).toDF("doc_id", "text")
+    val dropped = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9,
+      maxBucketSize = 100).count()
+    assert(dropped == 0)
+    val sampled = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9,
+      maxBucketSize = 100, hotBucketSample = 10)
+    val n = sampled.count()
+    assert(n > 0, "sampling fallback recovered nothing")
+    // bound: each of the 16 bands samples its own 10 ids (the sample hash
+    // mixes the bucket value) → ≤ bands × sample²/2 candidate pairs
+    assert(n <= 16L * 10 * 9 / 2, s"sample cap exceeded: $n pairs")
+  }
+
   test("embedding-cosine dedup finds noise-perturbed near-dups, no orthogonal false positives") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
