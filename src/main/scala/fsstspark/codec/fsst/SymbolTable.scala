@@ -165,6 +165,11 @@ final class FsstEncoder(table: SymbolTable) {
   // Direct-mapped hash table for 3..8-byte symbols, keyed on first 3 bytes.
   private val hashIcl = new Array[Long](HashTabSize)
   private val hashVal = new Array[Long](HashTabSize)
+  // Per-slot precomputed compare mask: replaces the variable shift
+  // `-1L >>> (icl & 0xffff)` in the hot probe with one array load —
+  // measured +2% via a same-JVM interleaved A/B (strictly less work; the
+  // extra 16 KB sits next to tables already ~200 KB).
+  private val hashMask = new Array[Long](HashTabSize)
   // Fast-path code limit — the reference's noSuffixOpt strategy axis
   // (/root/reference/table.go:926-931, dispatch 575-587) expressed through
   // one parameter:
@@ -208,6 +213,7 @@ final class FsstEncoder(table: SymbolTable) {
         if (hashIcl(idx) == IclFree) { // first-come wins, as at training time
           hashIcl(idx) = mkIcl(len, i, (8 - len) * 8)
           hashVal(idx) = table.symVal(i) // already masked: symVal holds len bytes only
+          hashMask(idx) = -1L >>> ((8 - len) * 8)
         }
       }
       i += 1
@@ -257,6 +263,7 @@ final class FsstEncoder(table: SymbolTable) {
     val byteCodes = this.byteCodes
     val hashIcl = this.hashIcl
     val hashVal = this.hashVal
+    val hashMask = this.hashMask
     while (pos < to) {
       val word = Bytes.getLongLE(src, pos)
       val code: Int = shortCodes((word & 0xffff).toInt)
@@ -268,7 +275,7 @@ final class FsstEncoder(table: SymbolTable) {
         val idx = (hash(word & 0xffffff) & (HashTabSize - 1)).toInt
         val icl = hashIcl(idx)
         val sLen = (icl >>> 28).toInt
-        if (icl < IclFree && hashVal(idx) == (word & (-1L >>> (icl & 0xffff))) && pos + sLen <= to) {
+        if (icl < IclFree && hashVal(idx) == (word & hashMask(idx)) && pos + sLen <= to) {
           Bytes.putByte(dst, out, (icl >>> 16).toByte); out += 1; pos += sLen
         } else {
           // Fallback: emit what shortCodes says — a conflicting 2-byte code,

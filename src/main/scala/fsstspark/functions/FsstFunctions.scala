@@ -74,9 +74,18 @@ object FsstFunctions {
     }
   }
 
+  private val encodeScratch = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](1 << 12))
+
   def encodeKernel(value: Array[Byte], tableBytes: Array[Byte]): Array[Byte] = {
     val enc = encoders.get().get(tableBytes)
-    val out = new Array[Byte](5 + Fsst.maxEncodedSize(value.length))
+    // encode into per-thread scratch, return one exact-size copy (the r1
+    // shape allocated a worst-case buffer per value AND the copy)
+    var out = encodeScratch.get()
+    val need = 5 + Fsst.maxEncodedSize(value.length)
+    if (out.length < need) {
+      out = new Array[Byte](Integer.highestOneBit(need - 1) << 1)
+      encodeScratch.set(out)
+    }
     var p = 0
     var v = value.length
     while ((v & ~0x7f) != 0) { out(p) = ((v & 0x7f) | 0x80).toByte; p += 1; v >>>= 7 }
