@@ -20,9 +20,11 @@ object LongCodec {
   final val BITPACK = 18
   final val RLE = 19
   final val DELTA = 20
+  final val XOR = 21
 
   val names: Map[Int, String] =
-    Map(RAW -> "raw8", FOR -> "for", BITPACK -> "bitpack", RLE -> "rle_long", DELTA -> "delta")
+    Map(RAW -> "raw8", FOR -> "for", BITPACK -> "bitpack", RLE -> "rle_long",
+      DELTA -> "delta", XOR -> "xor")
 
   /** values + nulls mask (nulls(i) = true means NULL; values(i) then ignored). */
   final case class LongColumn(values: Array[Long], nulls: Array[Boolean]) {
@@ -149,6 +151,49 @@ object LongCodec {
     out.result()
   }
 
+  /** XOR chain (the Gorilla idea, bit-packed instead of bitstream-coded):
+    * first raw value, then `(v_i ^ v_{i-1}) >>> shift` packed at the
+    * meaningful-bit width of the OR of all xors. Similar consecutive
+    * values — double columns sharing sign/exponent with an unused
+    * mantissa tail, slowly-moving gauges — leave both the xor's HIGH bits
+    * (leading zeros) and LOW bits (trailing zeros) clear; shift+width
+    * strip both. This is the double-column workhorse (doubles travel as
+    * raw bits).
+    */
+  def encodeXor(col: LongColumn): Array[Byte] = {
+    val out = fresh(64)
+    val v = header(out, XOR, col)
+    val p = out.reserve(8)
+    Bytes.putLongLE(out.raw, p, if (v.nonEmpty) v(0) else 0L)
+    val x = new Array[Long](math.max(v.length - 1, 0))
+    var orAll = 0L
+    var i = 1
+    while (i < v.length) {
+      x(i - 1) = v(i) ^ v(i - 1)
+      orAll |= x(i - 1)
+      i += 1
+    }
+    val (shift, width) = xorShiftWidth(orAll)
+    out.addByte(shift)
+    out.addByte(width)
+    i = 0
+    while (i < x.length) { x(i) = x(i) >>> shift; i += 1 }
+    BitPacker.pack(x, x.length, width, out)
+    out.result()
+  }
+
+  /** (trailing-zero shift, packed width) for an OR-of-all-xors pattern.
+    * Widths 57..63 fall back to unshifted 64 — [[BitPacker]]'s 64-bit
+    * accumulator supports ≤56 or exactly 64.
+    */
+  @inline private def xorShiftWidth(orAll: Long): (Int, Int) =
+    if (orAll == 0) (0, 0)
+    else {
+      val shift = java.lang.Long.numberOfTrailingZeros(orAll)
+      val width = 64 - java.lang.Long.numberOfLeadingZeros(orAll) - shift
+      if (width > 56) (0, 64) else (shift, math.max(width, 1))
+    }
+
   def decode(blob: Array[Byte]): LongColumn = {
     val r = new ByteReader(blob)
     val codec = r.readByte()
@@ -211,6 +256,18 @@ object LongCodec {
           var i = 1
           while (i < nn) { packed(i) = packed(i - 1) + d(i - 1) + mn; i += 1 }
         }
+      case XOR =>
+        val first = Bytes.getLongLE(blob, r.pos)
+        r.pos += 8
+        val shift = r.readByte()
+        val width = r.readByte()
+        if (nn > 0) {
+          val x = new Array[Long](nn - 1)
+          BitPacker.unpack(blob, r.pos, nn - 1, width, x)
+          packed(0) = first
+          var i = 1
+          while (i < nn) { packed(i) = packed(i - 1) ^ (x(i - 1) << shift); i += 1 }
+        }
       case other => throw new IllegalArgumentException(s"unknown long codec id $other")
     }
     // scatter back over nulls
@@ -233,6 +290,7 @@ object LongCodec {
     var nn = 0
     var deltaMn = Long.MaxValue
     var deltaMx = Long.MinValue
+    var xorOr = 0L
     var prev = 0L
     var havePrev = false
     var i = 0
@@ -245,6 +303,7 @@ object LongCodec {
           val d = v - prev
           if (d < deltaMn) deltaMn = d
           if (d > deltaMx) deltaMx = d
+          xorOr |= v ^ prev
         }
         prev = v; havePrev = true
         nn += 1
@@ -261,8 +320,13 @@ object LongCodec {
     est(FOR) = BitPacker.packedSize(nn, widthForRange(mn, mx)) + bitmapCost + 16
     if (nn == 0 || mn >= 0)
       est(BITPACK) = BitPacker.packedSize(nn, BitPacker.widthFor(math.max(mx, 0))) + bitmapCost + 12
-    est(RLE) = runs.toLong * 6 + 8
+    // per-run cost = runLen varint + flag + zigzag value bytes (sized from
+    // the actual value range — a flat 6 underestimated wide values like
+    // double bit patterns by 2x and made RLE win chunks it then lost)
+    val zzMax = math.max(zigzagLen(mn), zigzagLen(mx))
+    est(RLE) = runs.toLong * (2 + zzMax) + 8
     est(DELTA) = BitPacker.packedSize(math.max(nn - 1, 0), widthForRange(deltaMn, deltaMx)) + bitmapCost + 24
+    est(XOR) = BitPacker.packedSize(math.max(nn - 1, 0), xorShiftWidth(xorOr)._2) + bitmapCost + 18
     val chosen = est.toSeq.minBy { case (id, sz) => (sz, id) }._1
     val blob = chosen match {
       case RAW => encodeRaw(col)
@@ -270,8 +334,18 @@ object LongCodec {
       case BITPACK => encodeBitpack(col)
       case RLE => encodeRle(col)
       case DELTA => encodeDelta(col)
+      case XOR => encodeXor(col)
     }
-    Encoded(chosen, blob, bytesIn)
+    // raw-store guarantee (mirrors BytesCodec): never ship a blob larger
+    // than the straight 8-byte encoding
+    if (chosen != RAW && blob.length > est(RAW)) Encoded(RAW, encodeRaw(col), bytesIn)
+    else Encoded(chosen, blob, bytesIn)
+  }
+
+  /** Unsigned-LEB128 length of a zigzag-encoded long. */
+  @inline private def zigzagLen(v: Long): Int = {
+    val z = (v << 1) ^ (v >> 63)
+    if (z == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(z)) / 7
   }
 
   /** Bit width for values in [mn, mx] after subtracting mn, overflow-safe. */

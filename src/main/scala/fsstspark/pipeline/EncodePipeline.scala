@@ -264,9 +264,13 @@ object EncodePipeline {
   }
 
   /** One column of a multi-column encode pass: `value` must evaluate to
-    * BinaryType when `isLong` is false, to an integral/long type when true.
+    * BinaryType by default, an integral/long type when `isLong`, or a
+    * double when `isDouble` (doubles travel as raw IEEE-754 bits through
+    * [[fsstspark.codec.LongCodec]] — the XOR codec exploits shared
+    * sign/exponent bits; NaN payloads and ±0.0 round-trip exactly).
     */
-  final case class ColSpec(name: String, value: Column, isLong: Boolean = false)
+  final case class ColSpec(name: String, value: Column, isLong: Boolean = false,
+      isDouble: Boolean = false)
 
   /** Single-pass multi-column encode (the shape a real table rewrite
     * needs): ONE scan of the source and ONE shuffle on chunk_id carry all
@@ -291,10 +295,13 @@ object EncodePipeline {
     val parts = spark.sessionState.conf.numShufflePartitions
     val sel = Seq(chunkId.cast("long").as("chunk_id"), key.cast("string").as("key")) ++
       specs.zipWithIndex.map { case (sp, i) =>
-        (if (sp.isLong) sp.value.cast("long") else sp.value).as(s"c$i")
+        (if (sp.isLong) sp.value.cast("long")
+         else if (sp.isDouble) sp.value.cast("double")
+         else sp.value).as(s"c$i")
       }
     val names = specs.map(_.name).toArray
-    val isLong = specs.map(_.isLong).toArray
+    val isLong = specs.map(sp => sp.isLong || sp.isDouble).toArray
+    val isDouble = specs.map(_.isDouble).toArray
     df.select(sel: _*)
       .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id")
@@ -314,10 +321,13 @@ object EncodePipeline {
             if (isLong(ci)) {
               val values = new Array[Long](n)
               val nulls = new Array[Boolean](n)
+              val dbl = isDouble(ci)
               var j = 0
               while (j < n) {
                 if (chunk(j).isNullAt(fi)) nulls(j) = true
-                else values(j) = chunk(j).getLong(fi)
+                else values(j) =
+                  if (dbl) java.lang.Double.doubleToRawLongBits(chunk(j).getDouble(fi))
+                  else chunk(j).getLong(fi)
                 j += 1
               }
               mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls)
@@ -387,6 +397,23 @@ object EncodePipeline {
       Iterator.tabulate(keys.length) { i =>
         (new String(keys(i), "UTF-8"),
           if (col.nulls(i)) None else Some(col.values(i)))
+      }
+    }
+  }
+
+  /** Inverse of a `ColSpec(isDouble = true)` column: raw bits back to
+    * doubles, nulls preserved.
+    */
+  def decodeDoubles(results: Dataset[ChunkResult]): Dataset[(String, Option[Double])] = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    results.flatMap { r =>
+      val keys = BytesCodec.decode(r.key_blob)
+      val col = LongCodec.decode(r.value_blob)
+      Iterator.tabulate(keys.length) { i =>
+        (new String(keys(i), "UTF-8"),
+          if (col.nulls(i)) None
+          else Some(java.lang.Double.longBitsToDouble(col.values(i))))
       }
     }
   }

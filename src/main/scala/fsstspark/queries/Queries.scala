@@ -143,12 +143,13 @@ object Queries {
       .orderBy("event_type")
   }
 
-  /** Auto-selection across heterogeneous lineitem columns — all five
-    * encoded in ONE scan + ONE shuffle ([[EncodePipeline.encodeColumns]];
-    * the previous shape re-scanned and re-shuffled lineitem once per
-    * column). Row counts and input bytes are DuckDB-oracled; the chosen
-    * codec per column is part of the compared output (a golden selection
-    * — stable because every hash chunk sees the same value distribution).
+  /** Auto-selection across heterogeneous lineitem columns — all seven
+    * (two string, three long/timestamp, two double) encoded in ONE scan +
+    * ONE shuffle ([[EncodePipeline.encodeColumns]]; the r1 shape
+    * re-scanned and re-shuffled lineitem once per column). Row counts and
+    * input bytes are DuckDB-oracled; the chosen codec per column is part
+    * of the compared output (a golden selection — stable because every
+    * hash chunk sees the same value distribution).
     */
   def lineitemCodecSelection(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -159,7 +160,9 @@ object Queries {
       EncodePipeline.ColSpec("l_orderkey", col("l_orderkey"), isLong = true),
       EncodePipeline.ColSpec("l_partkey", col("l_partkey"), isLong = true),
       EncodePipeline.ColSpec("l_shipdate",
-        unix_micros(col("l_shipdate").cast("timestamp")), isLong = true)))
+        unix_micros(col("l_shipdate").cast("timestamp")), isLong = true),
+      EncodePipeline.ColSpec("l_quantity", col("l_quantity"), isDouble = true),
+      EncodePipeline.ColSpec("l_extendedprice", col("l_extendedprice"), isDouble = true)))
     // bytes_out is deliberately absent: it is kernel-version-dependent and
     // would turn the DuckDB compare into a brittle golden number; ratio
     // assertions live in ScalaTest (CodecSpec/PipelineSpec) instead.
@@ -168,6 +171,26 @@ object Queries {
         sum("bytes_in").as("bytes_in"))
       .orderBy("column", "codec")
   }
+
+  /** Double-column round-trip (events.value through raw-bit LongCodec):
+    * decoded doubles must be BIT-identical per key — `<=>` catches any
+    * NaN/sign/rounding drift. Counts oracle exactly; values verify by the
+    * zero-mismatch invariant.
+    */
+  def eventsValueRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val enc = EncodePipeline.encodeColumns(ev, col("event_id"), docChunkOf(col("event_id")),
+      Seq(EncodePipeline.ColSpec("value", col("value"), isDouble = true)))
+    val dec = EncodePipeline.decodeDoubles(enc).toDF("key", "decoded")
+    ev.select(col("event_id").cast("string").as("key"), col("value"), col("event_type"))
+      .join(dec, Seq("key"), "full_outer")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <=> col("decoded"), 0L).otherwise(1L)).as("n_mismatch"))
+      .orderBy("event_type")
+  }
+
+  private def docChunkOf(id: Column): Column = pmod(id.cast("long"), lit(NChunks.toLong))
 
   /** Stable row key for tables without one: the orderkey/linenumber pair. */
   private def monotonicallyStableKey(): Column =

@@ -32,6 +32,7 @@ object SparkEntry {
     "chunk_profile" -> (Queries.chunkProfile _),
     // integer codecs over events/lineitem (N2-N4)
     "events_ts_roundtrip" -> (Queries.eventsTsRoundtrip _),
+    "events_value_roundtrip" -> (Queries.eventsValueRoundtrip _),
     "lineitem_codec_selection" -> (Queries.lineitemCodecSelection _),
     // relational coverage (SURVEY.md §2.3)
     "q1_agg" -> (Queries.q1Agg _),
@@ -98,6 +99,10 @@ object SparkEntry {
          CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
          CAST(count(DISTINCT epoch_us(ts)) AS BIGINT) AS n_distinct
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_value_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS n_mismatch
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
@@ -149,21 +154,24 @@ object SparkEntry {
          FROM documents GROUP BY lang ORDER BY lang""",
     // Golden codec selection (verified stable across sf0.001/0.01/0.1:
     // every hash chunk sees the same value distribution, so the selector
-    // picks the same codec in all 32 chunks): 1-char flags → dict,
-    // id columns → bitpack, shipdate (sorted-ish per order) → rle_long.
-    // bytes_in: byte columns count value bytes, long columns 8 B/row.
+    // picks the same codec in all 32 chunks): 1-char flags → dict, id
+    // columns → bitpack, shipdate + the double columns (raw IEEE bits,
+    // shared sign/exponent) → xor. bytes_in: byte columns count value
+    // bytes, long/double columns 8 B/row.
     "lineitem_codec_selection" ->
       """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS nr,
            CAST(sum(strlen(l_returnflag)) AS BIGINT) AS rf_b,
            CAST(sum(strlen(l_linestatus)) AS BIGINT) AS ls_b
            FROM lineitem)
          SELECT * FROM (
-           SELECT 'l_linestatus' AS "column", 'dict' AS codec, CAST(32 AS BIGINT) AS n_chunks,
-                  nr AS n_rows, ls_b AS bytes_in FROM m
+           SELECT 'l_extendedprice' AS "column", 'xor' AS codec, CAST(32 AS BIGINT) AS n_chunks,
+                  nr AS n_rows, 8 * nr AS bytes_in FROM m
+           UNION ALL SELECT 'l_linestatus', 'dict', 32, nr, ls_b FROM m
            UNION ALL SELECT 'l_orderkey', 'bitpack', 32, nr, 8 * nr FROM m
            UNION ALL SELECT 'l_partkey', 'bitpack', 32, nr, 8 * nr FROM m
+           UNION ALL SELECT 'l_quantity', 'xor', 32, nr, 8 * nr FROM m
            UNION ALL SELECT 'l_returnflag', 'dict', 32, nr, rf_b FROM m
-           UNION ALL SELECT 'l_shipdate', 'rle_long', 32, nr, 8 * nr FROM m)
+           UNION ALL SELECT 'l_shipdate', 'xor', 32, nr, 8 * nr FROM m)
          ORDER BY "column"""",
     // pages table is synthesized from documents with SQL-expressible
     // expressions (Queries.pagesFromDocs), so the whole pipeline's rows /

@@ -98,10 +98,26 @@ class CodecSpec extends AnyFunSuite {
       longRoundtrip(c, LongCodec.encodeFor)
       longRoundtrip(c, LongCodec.encodeRle)
       longRoundtrip(c, LongCodec.encodeDelta)
+      longRoundtrip(c, LongCodec.encodeXor)
       if ((0 until c.n).forall(i => c.nulls(i) || c.values(i) >= 0))
         longRoundtrip(c, LongCodec.encodeBitpack)
       longRoundtrip(c, v => LongCodec.encodeAuto(v).blob)
     }
+  }
+
+  test("xor codec: doubles-as-bits roundtrip exactly (NaN payloads, ±0.0) and pack when similar") {
+    import java.lang.Double.{doubleToRawLongBits => bits}
+    // hostile bit patterns must round-trip exactly
+    val hostile = mkCol(Array(bits(0.0), bits(-0.0), bits(Double.NaN),
+      java.lang.Double.doubleToLongBits(Double.NaN) | 0xdeadL, // NaN with payload
+      bits(Double.PositiveInfinity), bits(Double.MinPositiveValue), bits(1.0), bits(-1.0)), 3)
+    longRoundtrip(hostile, LongCodec.encodeXor)
+    // gauge-like doubles (same sign/exponent, slow drift) pick xor and pack < 8 B/value
+    val gauge = mkCol(Array.tabulate(5000)(i => bits(100.0 + (i % 97) * 0.25)))
+    val enc = LongCodec.encodeAuto(gauge)
+    assert(enc.codec == LongCodec.XOR, s"expected xor, got ${LongCodec.names(enc.codec)}")
+    assert(enc.blob.length < 8 * 5000 / 2, s"xor failed to compress: ${enc.blob.length}")
+    longRoundtrip(gauge, v => LongCodec.encodeAuto(v).blob)
   }
 
   test("long selector: sorted timestamps pick delta and pack tiny (FIXTURES l_shipdate→FoR family)") {
