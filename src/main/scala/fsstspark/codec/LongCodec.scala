@@ -21,10 +21,16 @@ object LongCodec {
   final val RLE = 19
   final val DELTA = 20
   final val XOR = 21
+  final val DICT = 22
 
   val names: Map[Int, String] =
     Map(RAW -> "raw8", FOR -> "for", BITPACK -> "bitpack", RLE -> "rle_long",
-      DELTA -> "delta", XOR -> "xor")
+      DELTA -> "delta", XOR -> "xor", DICT -> "dict_long")
+
+  /** Distinct values the selector tracks before declaring a chunk
+    * dict-ineligible (mirrors BytesCodec.DistinctCap).
+    */
+  final val DictCap = 4096
 
   /** values + nulls mask (nulls(i) = true means NULL; values(i) then ignored). */
   final case class LongColumn(values: Array[Long], nulls: Array[Boolean]) {
@@ -194,6 +200,54 @@ object LongCodec {
       if (width > 56) (0, 64) else (shift, math.max(width, 1))
     }
 
+  /** Chunk-local dictionary (Parquet's RLE_DICTIONARY case): distinct
+    * values in first-seen order + bit-packed indices. Wins over
+    * FoR/bitpack when values are low-cardinality but SCATTERED — index
+    * width is log2(cardinality) regardless of the value range.
+    */
+  def encodeDictLong(col: LongColumn): Array[Byte] = {
+    val out = fresh(64)
+    val v = header(out, DICT, col)
+    val index = new java.util.LinkedHashMap[java.lang.Long, Integer]()
+    val ids = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      val k = java.lang.Long.valueOf(v(i))
+      var id = index.get(k)
+      if (id == null) { id = index.size(); index.put(k, id) }
+      ids(i) = id.toLong
+      i += 1
+    }
+    out.addVarInt(index.size())
+    val it = index.keySet().iterator()
+    while (it.hasNext) { val p = out.reserve(8); Bytes.putLongLE(out.raw, p, it.next()) }
+    val width = BitPacker.widthFor(math.max(index.size() - 1, 0).toLong)
+    out.addByte(width)
+    BitPacker.pack(ids, v.length, width, out)
+    out.result()
+  }
+
+  /** Bounded open-addressed distinct tracker (no boxing in the probe). */
+  private final class LongDistinct(cap: Int) {
+    private val size = Integer.highestOneBit(math.max(cap * 4, 16) - 1) << 1
+    private val mask = size - 1
+    private val table = new Array[Long](size)
+    private val used = new Array[Boolean](size)
+    var n = 0
+    var capped = false
+    def add(v: Long): Unit = {
+      if (capped) return
+      var idx = (fsstspark.codec.fsst.Fsst.hash(v) & mask).toInt
+      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+      if (!used(idx)) {
+        used(idx) = true
+        table(idx) = v
+        n += 1
+        if (n >= cap) capped = true
+      }
+    }
+  }
+
   def decode(blob: Array[Byte]): LongColumn = {
     val r = new ByteReader(blob)
     val codec = r.readByte()
@@ -268,6 +322,15 @@ object LongCodec {
           var i = 1
           while (i < nn) { packed(i) = packed(i - 1) ^ (x(i - 1) << shift); i += 1 }
         }
+      case DICT =>
+        val nDict = r.readVarInt()
+        val dict = new Array[Long](nDict)
+        var i = 0
+        while (i < nDict) { dict(i) = Bytes.getLongLE(blob, r.pos); r.pos += 8; i += 1 }
+        val width = r.readByte()
+        BitPacker.unpack(blob, r.pos, nn, width, packed)
+        i = 0
+        while (i < nn) { packed(i) = dict(packed(i).toInt); i += 1 }
       case other => throw new IllegalArgumentException(s"unknown long codec id $other")
     }
     // scatter back over nulls
@@ -293,6 +356,7 @@ object LongCodec {
     var xorOr = 0L
     var prev = 0L
     var havePrev = false
+    val distinct = new LongDistinct(DictCap)
     var i = 0
     while (i < col.n) {
       if (!col.nulls(i)) {
@@ -305,6 +369,7 @@ object LongCodec {
           if (d > deltaMx) deltaMx = d
           xorOr |= v ^ prev
         }
+        distinct.add(v)
         prev = v; havePrev = true
         nn += 1
       }
@@ -327,6 +392,10 @@ object LongCodec {
     est(RLE) = runs.toLong * (2 + zzMax) + 8
     est(DELTA) = BitPacker.packedSize(math.max(nn - 1, 0), widthForRange(deltaMn, deltaMx)) + bitmapCost + 24
     est(XOR) = BitPacker.packedSize(math.max(nn - 1, 0), xorShiftWidth(xorOr)._2) + bitmapCost + 18
+    if (!distinct.capped)
+      est(DICT) = 8L * distinct.n +
+        BitPacker.packedSize(nn, BitPacker.widthFor(math.max(distinct.n - 1, 0).toLong)) +
+        bitmapCost + 12
     val chosen = est.toSeq.minBy { case (id, sz) => (sz, id) }._1
     val blob = chosen match {
       case RAW => encodeRaw(col)
@@ -335,6 +404,7 @@ object LongCodec {
       case RLE => encodeRle(col)
       case DELTA => encodeDelta(col)
       case XOR => encodeXor(col)
+      case DICT => encodeDictLong(col)
     }
     // raw-store guarantee (mirrors BytesCodec): never ship a blob larger
     // than the straight 8-byte encoding

@@ -163,13 +163,17 @@ object Queries {
         unix_micros(col("l_shipdate").cast("timestamp")), isLong = true),
       EncodePipeline.ColSpec("l_quantity", col("l_quantity"), isDouble = true),
       EncodePipeline.ColSpec("l_extendedprice", col("l_extendedprice"), isDouble = true)))
-    // bytes_out is deliberately absent: it is kernel-version-dependent and
-    // would turn the DuckDB compare into a brittle golden number; ratio
-    // assertions live in ScalaTest (CodecSpec/PipelineSpec) instead.
-    enc.groupBy("column", "codec")
-      .agg(count(lit(1)).as("n_chunks"), sum("n_rows").as("n_rows"),
+    // bytes_out and the chosen codec are deliberately absent from this
+    // oracled output: bytes_out is kernel-version-dependent, and the
+    // codec choice for l_quantity/l_shipdate legitimately flips between
+    // xor and dict_long with chunk size (dictionary amortization) — the
+    // per-chunk selector doing its job, not a golden constant. The stable
+    // golden-selection oracle lives in events_codec_selection; per-codec
+    // behavior is asserted in CodecSpec.
+    enc.groupBy("column")
+      .agg(countDistinct(col("chunk_id")).as("n_chunks"), sum("n_rows").as("n_rows"),
         sum("bytes_in").as("bytes_in"))
-      .orderBy("column", "codec")
+      .orderBy("column")
   }
 
   /** Double-column round-trip (events.value through raw-bit LongCodec):
@@ -191,6 +195,27 @@ object Queries {
   }
 
   private def docChunkOf(id: Column): Column = pmod(id.cast("long"), lit(NChunks.toLong))
+
+  /** Golden auto-selection over events — one pass, four columns, showing
+    * the selector route each type to its codec (low-cardinality strings
+    * AND low-cardinality JSON-ish props → dict, dense ids → bitpack,
+    * bounded-range timestamps → FoR). The double `value` column is
+    * deliberately absent: its for/xor/raw choice is legitimately
+    * chunk-content-dependent (no stable golden); its round-trip
+    * correctness is oracled by events_value_roundtrip.
+    */
+  def eventsCodecSelection(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val enc = EncodePipeline.encodeColumns(ev, col("event_id"), docChunkOf(col("event_id")), Seq(
+      EncodePipeline.ColSpec("ts", unix_micros(col("ts").cast("timestamp")), isLong = true),
+      EncodePipeline.ColSpec("user_id", col("user_id"), isLong = true),
+      EncodePipeline.ColSpec("event_type", encode(col("event_type"), "UTF-8")),
+      EncodePipeline.ColSpec("props", encode(col("props"), "UTF-8"))))
+    enc.groupBy("column", "codec")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_rows").as("n_rows"),
+        sum("bytes_in").as("bytes_in"))
+      .orderBy("column", "codec")
+  }
 
   /** Stable row key for tables without one: the orderkey/linenumber pair. */
   private def monotonicallyStableKey(): Column =

@@ -33,6 +33,7 @@ object SparkEntry {
     // integer codecs over events/lineitem (N2-N4)
     "events_ts_roundtrip" -> (Queries.eventsTsRoundtrip _),
     "events_value_roundtrip" -> (Queries.eventsValueRoundtrip _),
+    "events_codec_selection" -> (Queries.eventsCodecSelection _),
     "lineitem_codec_selection" -> (Queries.lineitemCodecSelection _),
     // relational coverage (SURVEY.md §2.3)
     "q1_agg" -> (Queries.q1Agg _),
@@ -152,26 +153,39 @@ object SparkEntry {
          CAST(sum(length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))) AS BIGINT) AS n_sentence_punct,
          CAST(sum(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_whitespace
          FROM documents GROUP BY lang ORDER BY lang""",
-    // Golden codec selection (verified stable across sf0.001/0.01/0.1:
-    // every hash chunk sees the same value distribution, so the selector
-    // picks the same codec in all 32 chunks): 1-char flags → dict, id
-    // columns → bitpack, shipdate + the double columns (raw IEEE bits,
-    // shared sign/exponent) → xor. bytes_in: byte columns count value
-    // bytes, long/double columns 8 B/row.
+    // Exact byte/row/chunk accounting for the seven-column single-pass
+    // encode (codec choices intentionally not pinned here — see the query
+    // comment; events_codec_selection carries the golden selection).
     "lineitem_codec_selection" ->
       """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS nr,
            CAST(sum(strlen(l_returnflag)) AS BIGINT) AS rf_b,
            CAST(sum(strlen(l_linestatus)) AS BIGINT) AS ls_b
            FROM lineitem)
          SELECT * FROM (
-           SELECT 'l_extendedprice' AS "column", 'xor' AS codec, CAST(32 AS BIGINT) AS n_chunks,
+           SELECT 'l_extendedprice' AS "column", CAST(32 AS BIGINT) AS n_chunks,
                   nr AS n_rows, 8 * nr AS bytes_in FROM m
-           UNION ALL SELECT 'l_linestatus', 'dict', 32, nr, ls_b FROM m
-           UNION ALL SELECT 'l_orderkey', 'bitpack', 32, nr, 8 * nr FROM m
-           UNION ALL SELECT 'l_partkey', 'bitpack', 32, nr, 8 * nr FROM m
-           UNION ALL SELECT 'l_quantity', 'xor', 32, nr, 8 * nr FROM m
-           UNION ALL SELECT 'l_returnflag', 'dict', 32, nr, rf_b FROM m
-           UNION ALL SELECT 'l_shipdate', 'xor', 32, nr, 8 * nr FROM m)
+           UNION ALL SELECT 'l_linestatus', 32, nr, ls_b FROM m
+           UNION ALL SELECT 'l_orderkey', 32, nr, 8 * nr FROM m
+           UNION ALL SELECT 'l_partkey', 32, nr, 8 * nr FROM m
+           UNION ALL SELECT 'l_quantity', 32, nr, 8 * nr FROM m
+           UNION ALL SELECT 'l_returnflag', 32, nr, rf_b FROM m
+           UNION ALL SELECT 'l_shipdate', 32, nr, 8 * nr FROM m)
+         ORDER BY "column"""",
+    // Golden codec selection, verified stable across sf0.001/0.01/0.1:
+    // low-cardinality strings AND low-cardinality JSON-ish props → dict,
+    // dense ids → bitpack, bounded-range timestamps → FoR. bytes_in:
+    // byte columns count value bytes, long columns 8 B/row.
+    "events_codec_selection" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+           CAST(sum(strlen(event_type)) AS BIGINT) AS et_b,
+           CAST(sum(strlen(props)) AS BIGINT) AS pr_b
+           FROM events)
+         SELECT * FROM (
+           SELECT 'event_type' AS "column", 'dict' AS codec, CAST(32 AS BIGINT) AS n_chunks,
+                  nr AS n_rows, et_b AS bytes_in FROM m
+           UNION ALL SELECT 'props', 'dict', 32, nr, pr_b FROM m
+           UNION ALL SELECT 'ts', 'for', 32, nr, 8 * nr FROM m
+           UNION ALL SELECT 'user_id', 'bitpack', 32, nr, 8 * nr FROM m)
          ORDER BY "column"""",
     // pages table is synthesized from documents with SQL-expressible
     // expressions (Queries.pagesFromDocs), so the whole pipeline's rows /

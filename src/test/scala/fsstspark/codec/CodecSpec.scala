@@ -99,10 +99,24 @@ class CodecSpec extends AnyFunSuite {
       longRoundtrip(c, LongCodec.encodeRle)
       longRoundtrip(c, LongCodec.encodeDelta)
       longRoundtrip(c, LongCodec.encodeXor)
+      longRoundtrip(c, LongCodec.encodeDictLong)
       if ((0 until c.n).forall(i => c.nulls(i) || c.values(i) >= 0))
         longRoundtrip(c, LongCodec.encodeBitpack)
       longRoundtrip(c, v => LongCodec.encodeAuto(v).blob)
     }
+  }
+
+  test("dict_long: scattered low-cardinality ids pick dict and pack at index width") {
+    // 100 distinct values scattered across a ~1e8 range: FoR needs 27-bit
+    // deltas, the dictionary needs 7-bit indices + 100 entries
+    val scattered = mkCol(Array.tabulate(5000)(i => (i % 100).toLong * 1000003L + 7L), 17)
+    val enc = LongCodec.encodeAuto(scattered)
+    assert(enc.codec == LongCodec.DICT, s"expected dict_long, got ${LongCodec.names(enc.codec)}")
+    assert(enc.blob.length < 5000 * 2, s"dict_long failed to pack: ${enc.blob.length}")
+    longRoundtrip(scattered, v => LongCodec.encodeAuto(v).blob)
+    // beyond the distinct cap the selector must not consider dict
+    val highCard = mkCol(Array.tabulate(10000)(i => i.toLong * 982451653L))
+    assert(LongCodec.encodeAuto(highCard).codec != LongCodec.DICT)
   }
 
   test("xor codec: doubles-as-bits roundtrip exactly (NaN payloads, ±0.0) and pack when similar") {
