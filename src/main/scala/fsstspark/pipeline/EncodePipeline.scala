@@ -280,9 +280,9 @@ object EncodePipeline {
     * [[encodeBytes]] calls, which re-scan and re-shuffle the table once
     * per column — N× the I/O for identical output.
     *
-    * Keys must be unique per row (they are row identity for the verify
-    * join); chunk content order is the key sort, so results are
-    * deterministic regardless of shuffle arrival order.
+    * Keys must be non-null and unique per row (they are row identity for
+    * the verify join); chunk content order is the key sort, so results
+    * are deterministic regardless of shuffle arrival order.
     */
   def encodeColumns(
       df: DataFrame,
