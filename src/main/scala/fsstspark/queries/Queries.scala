@@ -217,7 +217,41 @@ object Queries {
       .orderBy("column", "codec")
   }
 
-  /** Stable row key for tables without one: the orderkey/linenumber pair. */
+  /** DecimalType surface: decimals encode EXACTLY through the long codecs
+    * as unscaled integers — `dec * 10^scale → long` is exact decimal
+    * arithmetic (never a double detour), and the inverse cast restores
+    * the value bit-for-bit. This query locks the pattern: encode
+    * lineitem's price as decimal(12,2) cents, decode, and require zero
+    * mismatches against the original decimal column.
+    */
+  def lineitemDecimalRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("key", monotonicallyStableKey())
+      .withColumn("price_dec", col("l_extendedprice").cast("decimal(12,2)"))
+    val enc = EncodePipeline.encodeColumns(li, col("key"), rowChunk, Seq(
+      EncodePipeline.ColSpec("price_cents",
+        (col("price_dec") * 100).cast("long"), isLong = true)))
+    // The synthetic lineitem violates TPC-H's (orderkey, linenumber)
+    // primary key (≈24% duplicate pairs), so a per-key equi-join would
+    // row-multiply; compare the per-key VALUE MULTISETS instead — group
+    // counts per (key, cents) on both sides must agree exactly.
+    val orig = li.select(col("key"), (col("price_dec") * 100).cast("long").as("cents"))
+      .groupBy("key", "cents").agg(count(lit(1)).as("n_orig"))
+    val dec = EncodePipeline.decodeLongs(enc).toDF("key", "cents")
+      .groupBy("key", "cents").agg(count(lit(1)).as("n_dec"))
+    orig.join(dec, Seq("key", "cents"), "full_outer")
+      .agg(sum(coalesce(col("n_orig"), lit(0L))).as("n"),
+        sum(when(col("n_orig") <=> col("n_dec"), 0L).otherwise(1L)).as("n_mismatch"))
+  }
+
+  /** Deterministic row key for lineitem. NOTE: the synthetic testdata
+    * violates TPC-H's (orderkey, linenumber) primary key (≈24% of pairs
+    * repeat), so this key is stable but NOT unique — safe for chunking
+    * and aggregation queries, but per-key equi-join verification must use
+    * multiset compares (see [[lineitemDecimalRoundtrip]]); chunk content
+    * stays deterministic regardless via the encode pipeline's
+    * (key, value) tie-break sort.
+    */
   private def monotonicallyStableKey(): Column =
     concat_ws("_", col("l_orderkey"), col("l_linenumber"))
   private def rowChunk: Column = pmod(xxhash64(col("key")), lit(NChunks.toLong))

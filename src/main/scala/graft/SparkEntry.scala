@@ -34,6 +34,7 @@ object SparkEntry {
     "events_ts_roundtrip" -> (Queries.eventsTsRoundtrip _),
     "events_value_roundtrip" -> (Queries.eventsValueRoundtrip _),
     "events_codec_selection" -> (Queries.eventsCodecSelection _),
+    "lineitem_decimal_roundtrip" -> (Queries.lineitemDecimalRoundtrip _),
     "lineitem_codec_selection" -> (Queries.lineitemCodecSelection _),
     // relational coverage (SURVEY.md §2.3)
     "q1_agg" -> (Queries.q1Agg _),
@@ -104,6 +105,9 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(0 AS BIGINT) AS n_mismatch
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "lineitem_decimal_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_mismatch
+         FROM lineitem""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
