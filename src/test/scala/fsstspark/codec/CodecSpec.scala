@@ -106,6 +106,45 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: encodeAuto roundtrips 200 random byte-column shapes exactly") {
+    val rnd = new scala.util.Random(20260817)
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(300)
+      val mode = trial % 5
+      val values = Array.tabulate[Array[Byte]](n) { i =>
+        if (rnd.nextInt(10) == 0) null
+        else mode match {
+          case 0 => Array.empty[Byte]
+          case 1 => { val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b } // incompressible
+          case 2 => s"repeated-${i % 3}".getBytes(UTF_8) // low cardinality
+          case 3 => Array.fill[Byte](rnd.nextInt(50))((i % 4).toByte) // runs + zeros
+          case _ => s"text value number $i with shared structure".getBytes(UTF_8)
+        }
+      }
+      bytesRoundtrip(values, v => BytesCodec.encodeAuto(v).blob)
+    }
+  }
+
+  test("property: long encodeAuto roundtrips 200 random long-column shapes exactly") {
+    val rnd = new scala.util.Random(8675309)
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(400)
+      val mode = trial % 5
+      val values = Array.tabulate(n) { i =>
+        mode match {
+          case 0 => rnd.nextLong() // full range
+          case 1 => rnd.nextInt(100).toLong // low cardinality
+          case 2 => 1700000000000000L + i * 1000L + rnd.nextInt(3) // near-sorted
+          case 3 => java.lang.Double.doubleToRawLongBits(100.0 + rnd.nextInt(50) * 0.25)
+          case _ => if (rnd.nextBoolean()) Long.MinValue else Long.MaxValue
+        }
+      }
+      val nulls = Array.tabulate(n)(_ => rnd.nextInt(8) == 0)
+      val c = LongCodec.LongColumn(values, nulls)
+      longRoundtrip(c, v => LongCodec.encodeAuto(v).blob)
+    }
+  }
+
   test("dict_long: scattered low-cardinality ids pick dict and pack at index width") {
     // 100 distinct values scattered across a ~1e8 range: FoR needs 27-bit
     // deltas, the dictionary needs 7-bit indices + 100 entries
