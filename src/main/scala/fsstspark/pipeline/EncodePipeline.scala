@@ -270,7 +270,9 @@ object EncodePipeline {
     * sign/exponent bits; NaN payloads and ±0.0 round-trip exactly).
     */
   final case class ColSpec(name: String, value: Column, isLong: Boolean = false,
-      isDouble: Boolean = false)
+      isDouble: Boolean = false) {
+    require(!(isLong && isDouble), s"column $name: isLong and isDouble are exclusive")
+  }
 
   /** Single-pass multi-column encode (the shape a real table rewrite
     * needs): ONE scan of the source and ONE shuffle on chunk_id carry all
