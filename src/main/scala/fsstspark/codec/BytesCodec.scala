@@ -162,6 +162,11 @@ object BytesCodec {
     val r = new ByteReader(blob)
     val codec = r.readByte()
     val n = r.readVarInt()
+    // corrupt-count guard: every codec spends ≥1 blob byte per value except
+    // degenerate all-null/constant runs, which stay far under the floor —
+    // a flipped count byte must fail here, not allocate gigabytes
+    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 24),
+      s"corrupt bytes blob: value count $n implausible for ${blob.length}-byte blob")
     val out = new Array[Array[Byte]](n)
     codec match {
       case RAW =>
@@ -175,6 +180,13 @@ object BytesCodec {
         val tLen = r.readVarInt()
         val table = SymbolTable.deserialize(r.readBytes(tLen))
         val orig = r.readVarLong()
+        // hostile-blob guards: the decode kernel uses unchecked Platform
+        // loads/stores, so the blob's self-declared sizes are validated
+        // structurally BEFORE the kernel runs — a flipped bit raises here
+        // (or in the kernel's own dst guard), never reads/writes out of
+        // bounds. Max expansion is 8 output bytes per code byte.
+        require(orig >= 0 && orig <= 8L * blob.length,
+          s"corrupt fsst blob: declared size $orig out of range for ${blob.length}-byte blob")
         val lens = new Array[Int](n)
         var i = 0
         while (i < n) { lens(i) = r.readVarInt(); i += 1 }
@@ -188,6 +200,8 @@ object BytesCodec {
         while (i < n) {
           if (lens(i) > 0) {
             val encLen = lens(i) - 1
+            require(encLen >= 0 && sp + encLen <= blob.length,
+              s"corrupt fsst blob: value $i claims $encLen encoded bytes past blob end")
             val dEnd = dec.decode(blob, sp, encLen, buf, dp)
             out(i) = java.util.Arrays.copyOfRange(buf, dp, dEnd)
             dp = dEnd
@@ -195,6 +209,7 @@ object BytesCodec {
           }
           i += 1
         }
+        require(dp <= orig, s"corrupt fsst blob: decoded $dp bytes, declared $orig")
       case DICT =>
         val nDict = r.readVarInt()
         val dict = new Array[Array[Byte]](nDict)
@@ -213,6 +228,7 @@ object BytesCodec {
         var i = 0
         while (i < n) {
           val runLen = r.readVarInt()
+          require(runLen > 0 && runLen <= n - i, s"corrupt rle blob: run length $runLen at row $i/$n")
           val l = r.readVarInt()
           val v = if (l > 0) r.readBytes(l - 1) else null
           var k = 0
@@ -238,6 +254,8 @@ object BytesCodec {
   )
 
   final val DistinctCap = 4096
+  /** Distinct-byte budget before the all-unique escape fires in [[stats]]. */
+  final val DictProbeBytes = 4L << 20
 
   def stats(values: Array[Array[Byte]]): Stats = {
     // pass 1 (cheap): nulls, total bytes, run count
@@ -251,24 +269,34 @@ object BytesCodec {
       if (i == 0 || !sameValue(v, values(i - 1))) runs += 1
       i += 1
     }
-    // pass 2: distinct tracking for dict sizing. Work is bounded by the
-    // cap, not by value length: hashing stops the moment DistinctCap
-    // unique values have been seen (a high-cardinality chunk stops after
-    // ~4k values), while a genuinely low-cardinality chunk of long
-    // repeated values — exactly the case where a chunk-local dict wins by
-    // a mile over FSST — keeps counting and gets its dict estimate.
+    // pass 2: distinct tracking for dict sizing. Work is bounded two ways:
+    //  * count cap — hashing stops the moment DistinctCap unique values
+    //    have been seen (a high-cardinality chunk stops after ~4k values);
+    //  * long-value escape — if no duplicate has appeared after
+    //    DictProbeBytes of distinct bytes, a chunk-local dict cannot win
+    //    (dict only beats raw/FSST through entry reuse), so hashing stops
+    //    instead of paying a full-chunk hash on e.g. 16 MB of ~1 MB
+    //    mostly-unique documents. "No duplicates" is measured in bytes
+    //    (dict savings ≈ duplicated bytes), so a stray early repeat does
+    //    not disarm the escape: hashing stops whenever distinct bytes
+    //    exceed 4× the duplicate bytes observed so far AND the probe
+    //    budget is spent. A genuinely low-cardinality chunk of long
+    //    repeated values — where dict wins by a mile — accrues duplicate
+    //    bytes every repeat and keeps its dict estimate.
     var dBytes = 0L
+    var dupBytes = 0L
     val seen = mutable.HashSet.empty[ByteKey]
     var capped = false
     i = 0
-    while (i < values.length) {
+    while (i < values.length && !capped) {
       val v = values(i)
-      if (v != null && !capped) {
+      if (v != null) {
         val k = new ByteKey(v)
         if (seen.add(k)) {
           dBytes += v.length
           if (seen.size >= DistinctCap) capped = true
-        }
+          else if (dBytes >= DictProbeBytes && dBytes > 4 * dupBytes) capped = true
+        } else dupBytes += v.length
       }
       i += 1
     }

@@ -252,6 +252,12 @@ object LongCodec {
     val r = new ByteReader(blob)
     val codec = r.readByte()
     val n = r.readVarInt()
+    // corrupt-count guard (see BytesCodec.decode): bound the allocation
+    // before trusting a self-declared count from a potentially bit-flipped
+    // blob; constant/all-null columns legitimately pack many rows per byte
+    // but stay far under this ceiling
+    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 24),
+      s"corrupt long blob: value count $n implausible for ${blob.length}-byte blob")
     val values = new Array[Long](n)
     val nulls = new Array[Boolean](n)
     if (codec == RLE) {
@@ -259,6 +265,7 @@ object LongCodec {
       var i = 0
       while (i < n) {
         val runLen = r.readVarInt()
+        require(runLen > 0 && runLen <= n - i, s"corrupt rle blob: run length $runLen at row $i/$n")
         val flag = r.readByte()
         val v = if (flag == 1) r.readZigZagLong() else 0L
         var k = 0
@@ -311,6 +318,7 @@ object LongCodec {
           while (i < nn) { packed(i) = packed(i - 1) + d(i - 1) + mn; i += 1 }
         }
       case XOR =>
+        require(r.pos + 8 <= blob.length, "corrupt xor payload: missing first value")
         val first = Bytes.getLongLE(blob, r.pos)
         r.pos += 8
         val shift = r.readByte()
@@ -324,6 +332,8 @@ object LongCodec {
         }
       case DICT =>
         val nDict = r.readVarInt()
+        require(nDict >= 0 && r.pos + 8L * nDict <= blob.length,
+          s"corrupt dict payload: $nDict entries exceed blob")
         val dict = new Array[Long](nDict)
         var i = 0
         while (i < nDict) { dict(i) = Bytes.getLongLE(blob, r.pos); r.pos += 8; i += 1 }

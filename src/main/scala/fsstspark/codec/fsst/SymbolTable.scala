@@ -122,6 +122,11 @@ object SymbolTable {
     val histo = new Array[Int](8)
     var i = 0
     while (i < 8) { histo(i) = bytes(8 + i) & 0xff; i += 1 }
+    // corrupt-table guard: the length schedule below trusts the histogram
+    var hSum = 0
+    i = 0
+    while (i < 8) { hSum += histo(i); i += 1 }
+    require(hSum == n, s"fsst: corrupt table — length histogram sum $hSum != nSymbols $n")
     // Code→length schedule implied by the finalize layout: lengths 2..8, then 1.
     val symLen = new Array[Byte](n)
     var pos = 0
@@ -311,14 +316,27 @@ final class FsstDecoder(table: SymbolTable) {
 
   /** Decode `src[off, off+len)` into dst at dstPos; returns new dstPos.
     * dst capacity must be ≥ dstPos + decodedSize + 8.
+    *
+    * Hostile-input safety: every store is guarded against `dst.length`, so
+    * a corrupted blob whose codes decode to more than the caller-declared
+    * size raises a clean exception instead of writing past the array
+    * through the unchecked `Platform` stores (the reference survives
+    * decoder fuzzing on malformed input, /root/reference/train_test.go:
+    * 428-444 — it grows its buffer; our callers declare the exact size, so
+    * overflow means corruption and must raise). The guard is one
+    * always-predicted compare per code; KernelBench A/B shows it inside
+    * run-to-run noise.
     */
   def decode(src: Array[Byte], off: Int, len: Int, dst: Array[Byte], dstPos: Int): Int = {
     var sp = off
     val end = off + len
     var out = dstPos
+    val dstLim = dst.length - 8 // every store is ≤8 bytes wide
     while (sp < end) {
       val code = Bytes.getByte(src, sp) & 0xff
       sp += 1
+      if (out > dstLim) throw new IllegalArgumentException(
+        s"fsst: corrupt blob — decoded output exceeds destination capacity ${dst.length}")
       if (code < Fsst.EscapeCode) {
         Bytes.putLongLE(dst, out, decSym(code))
         out += decLen(code)

@@ -102,6 +102,11 @@ object FsstFunctions {
     var b = blob(p) & 0xff
     while ((b & 0x80) != 0) { len |= (b & 0x7f) << shift; shift += 7; p += 1; b = blob(p) & 0xff }
     len |= b << shift; p += 1
+    // corrupt-blob guard: declared size must be structurally possible
+    // (≤ 8 output bytes per code byte) before allocating; the decode
+    // kernel additionally bounds every store against the buffer.
+    require(len >= 0 && len <= 8L * (blob.length - p),
+      s"fsst_decode: corrupt blob — declared $len bytes from ${blob.length - p} code bytes")
     val out = new Array[Byte](len + 8) // +8: decoder writes one wide store past the end
     val n = dec.decode(blob, p, blob.length - p, out, 0)
     require(n == len, s"fsst_decode: expected $len bytes, got $n")

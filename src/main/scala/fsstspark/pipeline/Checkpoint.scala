@@ -15,8 +15,52 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoint {
 
-  def write(results: Dataset[ChunkResult], path: String): Unit =
+  /** Chunk-id format generation. v2 = full-key FNV chunk ids
+    * ([[EncodePipeline.localChunkId]] folds EVERY key); v1 (round-1) ids
+    * hashed only first/last key + count. Resuming a v1 checkpoint with v2
+    * ids would find no matching ids, re-encode everything, and APPEND —
+    * leaving the table with every row under two id generations (decode
+    * then emits duplicates). The version marker makes that a hard error
+    * instead of silent duplication.
+    */
+  final val FormatVersion = 2
+  private val MarkerName = "_fsst_format_version"
+
+  def write(results: Dataset[ChunkResult], path: String): Unit = {
+    writeVersionMarker(results.sparkSession, path)
     results.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  private def writeVersionMarker(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      out.write(s"$FormatVersion\n".getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** Refuse to resume against a checkpoint written under a different
+    * chunk-id generation (or one predating the marker).
+    */
+  private def checkVersion(spark: SparkSession, path: String): Unit = {
+    if (!exists(spark, path)) return
+    val p = new org.apache.hadoop.fs.Path(path, MarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val found =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        in.close()
+        s.toIntOption
+      }
+    if (!found.contains(FormatVersion)) throw new IllegalStateException(
+      s"checkpoint at $path is format ${found.map(_.toString).getOrElse("pre-versioning (v1)")} " +
+        s"but this build writes v$FormatVersion chunk ids; resuming would duplicate every " +
+        "chunk under a second id generation — delete (or migrate) the checkpoint first")
+  }
 
   def read(spark: SparkSession, path: String): Dataset[ChunkResult] = {
     import spark.implicits._
@@ -40,6 +84,7 @@ object Checkpoint {
       path: String
   ): Long = {
     val spark = ds.sparkSession
+    checkVersion(spark, path)
     val done = completed(spark, path).filter(col("column") === column)
       .select(col("chunk_id").as("done_chunk_id"))
     val pendingRows = ds
@@ -73,6 +118,7 @@ object Checkpoint {
       targetChunkBytes: Long = 16L << 20
   ): Long = {
     val spark = ds.sparkSession
+    checkVersion(spark, path)
     val done: Array[Long] =
       if (!exists(spark, path)) Array.emptyLongArray
       else spark.read.parquet(path).filter(col("column") === column)
@@ -104,7 +150,15 @@ object Checkpoint {
   ): Long = {
     val spark = df.sparkSession
     import spark.implicits._
-    val done = completed(spark, path) // (chunk_id, column) distinct
+    checkVersion(spark, path)
+    // Restrict to THIS pass's columns: checkpoint rows for columns outside
+    // `specs` (an earlier run with a different spec list, or a resumeBytes
+    // run sharing the path) must not count toward the per-chunk
+    // "fully done" test below — a chunk could otherwise reach
+    // count == specs.size with one of the current columns missing and be
+    // silently skipped.
+    val done = completed(spark, path)
+      .filter(col("column").isin(specs.map(_.name): _*)) // (chunk_id, column) distinct
     val fullDone = done.groupBy("chunk_id").count()
       .filter(col("count") === specs.size.toLong)
       .select(col("chunk_id").as("done_chunk_id"))

@@ -500,7 +500,12 @@ object Queries {
       "html" -> col("html"))
     val specs = byteCols.map { case (n, v) => EncodePipeline.ColSpec(n, v) } :+
       EncodePipeline.ColSpec("warc_ts", unix_micros(col("warc_ts")), isLong = true)
-    val enc = EncodePipeline.encodeColumns(pages, col("url"), chunk, specs)
+    // The encode feeds five consumers (three byte-column decodes, the
+    // timestamp decode, and the metrics rollup); AQE reuses the shuffle
+    // EXCHANGE but the mapPartitions encode above it would re-run once per
+    // branch — persist so the flagship encodes exactly once. (MEMORY_AND_DISK
+    // default: encoded chunks are ~⅓ input size and spillable.)
+    val enc = EncodePipeline.encodeColumns(pages, col("url"), chunk, specs).persist()
     // per-column mismatch counts, all as one lazy distributed dataflow
     val byteMismatch = byteCols.map { case (n, v) =>
       val orig = pages.select(col("url").as("key"), v.as("value")).as[KV]

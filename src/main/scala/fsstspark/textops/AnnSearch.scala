@@ -99,20 +99,26 @@ object AnnSearch {
     val centroids = kmeans(sample, math.min(nCentroids, math.max(sample.length, 1)), iters)
     val bc = spark.sparkContext.broadcast(centroids)
 
+    // ids-only candidate generation: the bucket join and the distinct
+    // dedup shuffle rows of two longs — embeddings never travel until the
+    // (much smaller) candidate set joins them back for exact scoring
+    // (mirrors [[Dedup.embeddingPairs]]).
     val assigned = base.as[(Long, Array[Float])]
-      .map { case (id, v) => (nearestCentroids(bc.value, normalize(v), 1)(0), id, v) }
-      .toDF("centroid", "id", "vec")
+      .map { case (id, v) => (nearestCentroids(bc.value, normalize(v), 1)(0), id) }
+      .toDF("centroid", "id")
     val probes = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qv) =>
-        nearestCentroids(bc.value, normalize(qv), nProbe).map(c => (c, qid, qv))
+        nearestCentroids(bc.value, normalize(qv), nProbe).map(c => (c, qid))
       }
-      .toDF("centroid", "query_id", "query_vec")
+      .toDF("centroid", "query_id")
     val cand = assigned.join(broadcast(probes), Seq("centroid"))
       .filter(col("id") =!= col("query_id"))
-      .select("query_id", "id", "vec", "query_vec").distinct()
-    val scored = cand.select(col("query_id"), col("id"),
-      cosine(col("vec"), col("query_vec")).as("sim"))
+      .select("query_id", "id").distinct()
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val scored = cand.join(base, Seq("id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("vec"), col("query_vec")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -182,20 +188,27 @@ object AnnSearch {
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def withBuckets(df: DataFrame, idName: String, vecName: String): DataFrame =
-      df.select(col(idCol).cast("long").as(idName), col(vecCol).as(vecName))
+    // ids-only bucket rows: the equi-join and the candidate distinct move
+    // (table, bucket, id) longs, never vectors — the candidate exchange
+    // row width is 2 longs (mirrors [[Dedup.embeddingPairs]]); vectors
+    // join back only for the exact re-rank of the candidate set.
+    def withBuckets(df: DataFrame, idName: String): DataFrame =
+      df.select(col(idCol).cast("long").as(idName), col(vecCol).as("__vec"))
         .as[(Long, Array[Float])]
         .flatMap { case (id, vec) =>
-          Iterator.tabulate(nTables)(t => (id, vec, t, srpBucket(vec, nBits, t)))
+          Iterator.tabulate(nTables)(t => (id, t, srpBucket(vec, nBits, t)))
         }
-        .toDF(idName, vecName, "table", "bucket")
-    val c = withBuckets(corpus, "id", "vec")
-    val q = withBuckets(queries, "query_id", "query_vec")
+        .toDF(idName, "table", "bucket")
+    val c = withBuckets(corpus, "id")
+    val q = withBuckets(queries, "query_id")
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
-      .select("query_id", "id", "vec", "query_vec").distinct()
-    val scored = cand.select(col("query_id"), col("id"),
-      cosine(col("vec"), col("query_vec")).as("sim"))
+      .select("query_id", "id").distinct()
+    val cv = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val scored = cand.join(cv, Seq("id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("vec"), col("query_vec")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

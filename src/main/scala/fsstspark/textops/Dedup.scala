@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * — tiny rows — never a cross join; exact verification joins texts back
   * only for the candidate pairs (a vanishing fraction of n²).
   */
+/** Pairs plus the recall-accounting side channel: `droppedBuckets` has one
+  * row per hot bucket excluded from candidate generation
+  * (`method, bucket_a, bucket_b, n_members`) — at 100 TB that recall loss
+  * must be a queryable data output, not a log line. Both frames are lazy;
+  * materializing one does not compute the other.
+  */
+final case class DedupResult(
+    pairs: org.apache.spark.sql.DataFrame,
+    droppedBuckets: org.apache.spark.sql.DataFrame)
+
 object Dedup {
 
   @inline private def mix64(z0: Long): Long = {
@@ -118,7 +128,14 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 3, m: Int = 64, r: Int = 4,
       maxBucketSize: Int = 1000, hotBucketSample: Int = 0
-  ): DataFrame = {
+  ): DataFrame =
+    minhashDedup(docs, idCol, textCol, threshold, k, m, r, maxBucketSize, hotBucketSample).pairs
+
+  def minhashDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 3, m: Int = 64, r: Int = 4,
+      maxBucketSize: Int = 1000, hotBucketSample: Int = 0
+  ): DedupResult = {
     val spark = docs.sparkSession
     import spark.implicits._
     val b = m / r
@@ -144,7 +161,8 @@ object Dedup {
     // collide everywhere (i.e. are exact-dup-scale groups, which exact
     // dedup handles more cheaply than pairwise enumeration).
     val rawBuckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
-    val hot = hotBuckets(rawBuckets.groupBy("band", "bhash").count(), maxBucketSize, "minhash")
+    val hotCounts = hotBuckets(rawBuckets.groupBy("band", "bhash").count(), maxBucketSize)
+    val hot = hotCounts.drop("count")
     val cold = rawBuckets.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
     val buckets =
       if (hotBucketSample <= 0) cold
@@ -175,7 +193,9 @@ object Dedup {
       .map { case (ia, ib, ta, tb) =>
         (ia, ib, exactJaccard(shingles(ta, k), shingles(tb, k)))
       }.toDF("id_a", "id_b", "jaccard")
-    verified.filter(col("jaccard") >= threshold).orderBy("id_a", "id_b")
+    DedupResult(
+      verified.filter(col("jaccard") >= threshold).orderBy("id_a", "id_b"),
+      droppedMetrics(hotCounts, "minhash", "band", "bhash"))
   }
 
   /** SimHash near-duplicate pairs: fingerprints within `maxHamming` bits.
@@ -187,7 +207,13 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
       maxBucketSize: Int = 1000
-  ): DataFrame = {
+  ): DataFrame =
+    simhashDedup(docs, idCol, textCol, maxHamming, maxBucketSize).pairs
+
+  def simhashDedup(
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DedupResult = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nBlocks = maxHamming + 1
@@ -209,8 +235,8 @@ object Dedup {
     // other blocks; a group colliding in EVERY block is an
     // exact-duplicate-scale cluster, which exact dedup (md5 group-by)
     // catches without pairwise enumeration.
-    val hot = hotBuckets(rawBlocks.groupBy("block", "bval").count(), maxBucketSize, "simhash")
-    val blocks = rawBlocks.join(broadcast(hot), Seq("block", "bval"), "left_anti")
+    val hotCounts = hotBuckets(rawBlocks.groupBy("block", "bval").count(), maxBucketSize)
+    val blocks = rawBlocks.join(broadcast(hotCounts.drop("count")), Seq("block", "bval"), "left_anti")
     val l = blocks.as("l")
     val r = blocks.as("r")
     val cand = l.join(r,
@@ -218,9 +244,11 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.fp").as("fp_a"), col("r.fp").as("fp_b")).distinct()
-    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+    DedupResult(
+      cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b"),
+      droppedMetrics(hotCounts, "simhash", "block", "bval"))
   }
 
   /** Embedding-cosine near-duplicate pairs: documents whose embedding
@@ -235,7 +263,14 @@ object Dedup {
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, nBits: Int = 12, nTables: Int = 8,
       maxBucketSize: Int = 1000
-  ): DataFrame = {
+  ): DataFrame =
+    embeddingDedup(vecs, idCol, vecCol, threshold, nBits, nTables, maxBucketSize).pairs
+
+  def embeddingDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, nBits: Int = 12, nTables: Int = 8,
+      maxBucketSize: Int = 1000
+  ): DedupResult = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val buckets0 = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -244,8 +279,8 @@ object Dedup {
         Iterator.tabulate(nTables)(t => (id, t, AnnSearch.srpBucket(v, nBits, t)))
       }
       .toDF("id", "table", "bucket")
-    val hot = hotBuckets(buckets0.groupBy("table", "bucket").count(), maxBucketSize, "embedding")
-    val buckets = buckets0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+    val hotCounts = hotBuckets(buckets0.groupBy("table", "bucket").count(), maxBucketSize)
+    val buckets = buckets0.join(broadcast(hotCounts.drop("count")), Seq("table", "bucket"), "left_anti")
     val l = buckets.as("l")
     val r = buckets.as("r")
     val cand = l.join(r,
@@ -253,32 +288,30 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
     val vv = vecs.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
-    cand
+    val pairs = cand
       .join(vv.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "vec_a"), "id_a")
       .join(vv.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vec_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         AnnSearch.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
+    DedupResult(pairs, droppedMetrics(hotCounts, "embedding", "table", "bucket"))
   }
 
-  /** Buckets over the cap, with visibility: the recall lost to dropped
-    * buckets is otherwise invisible in the output, so the count/size of
-    * dropped buckets is logged (the aggregated frame is tiny — one row
-    * per HOT bucket — so the extra action costs one cheap job).
+  /** Buckets over the cap — lazy (one aggregated row per hot bucket; cheap
+    * enough to recompute for its consumers, so no persist to leak and no
+    * eager job at DataFrame-construction time). Pairs confined to a hot
+    * bucket are not enumerated; the loss is accounted in
+    * [[DedupResult.droppedBuckets]] — exact-duplicate-scale groups are
+    * exact dedup's job, not pairwise enumeration's.
     */
-  private def hotBuckets(bucketCounts: DataFrame, maxBucketSize: Int,
-      tag: String): DataFrame = {
-    val hot = bucketCounts.filter(col("count") > maxBucketSize).persist()
-    val stats = hot.agg(count(lit(1)), sum("count")).head()
-    val nHot = stats.getLong(0)
-    if (nHot > 0) {
-      val rows = stats.getLong(1)
-      System.err.println(
-        s"[dedup/$tag] dropped $nHot hot bucket(s) totalling $rows member rows " +
-          s"(> $maxBucketSize docs/bucket); pairs confined to those buckets are " +
-          "not enumerated — route exact-duplicate groups through exact dedup")
-    }
-    hot.drop("count")
-  }
+  private def hotBuckets(bucketCounts: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketCounts.filter(col("count") > maxBucketSize)
+
+  /** Normalized dropped-bucket accounting rows. */
+  private def droppedMetrics(hotCounts: DataFrame, method: String,
+      keyA: String, keyB: String): DataFrame =
+    hotCounts.select(lit(method).as("method"),
+      col(keyA).cast("long").as("bucket_a"), col(keyB).cast("long").as("bucket_b"),
+      col("count").as("n_members"))
 }

@@ -51,6 +51,10 @@ object BitPacker {
     require(width <= 56 || width == 64, s"unsupported width $width")
     var p = offset
     if (width == 64) {
+      // the 8-byte loads are unchecked Platform reads — bound them against
+      // the payload before the loop so a corrupt count fails cleanly
+      require(p >= 0 && p + 8L * count <= in.length,
+        s"corrupt bitpack payload: $count×64-bit values at $p exceed ${in.length} bytes")
       var i = 0
       while (i < count) { out(i) = Bytes.getLongLE(in, p); p += 8; i += 1 }
       return p

@@ -207,4 +207,85 @@ class CodecSpec extends AnyFunSuite {
     val b2 = BytesCodec.encodeAuto(textValues)
     assert(b1.codec == b2.codec && java.util.Arrays.equals(b1.blob, b2.blob))
   }
+
+  // Decode safety on hostile input: checkpoint blobs live for years; a
+  // flipped bit must raise a clean exception, never write past an array
+  // through the kernels' unchecked Platform stores (the reference fuzzes
+  // its decoder the same way, /root/reference/train_test.go:428-444).
+  private def decodeMustBeClean(decode: Array[Byte] => Unit, blob: Array[Byte]): Unit =
+    try { decode(blob); () } catch {
+      case _: IllegalArgumentException => () // structural guard fired
+      case _: IndexOutOfBoundsException => () // JVM bounds check on a checked path
+      case _: NegativeArraySizeException => () // corrupt length surfaced at alloc
+    } // anything else (OOM, internal errors) propagates and fails the test
+
+  test("hostile input: bit-flipped byte-chunk blobs raise cleanly (all codecs)") {
+    val rnd = new scala.util.Random(424242)
+    val blobs = Seq(
+      BytesCodec.encodeFsst(textValues), BytesCodec.encodeDict(textValues),
+      BytesCodec.encodeRle(textValues), BytesCodec.encodeRaw(textValues))
+    for (blob <- blobs) {
+      // every header/table byte systematically + sampled payload positions
+      val positions = (0 until math.min(blob.length, 256)) ++
+        Seq.fill(400)(rnd.nextInt(blob.length))
+      for (p <- positions; bit <- Seq(0, 3, 7)) {
+        val c = blob.clone()
+        c(p) = (c(p) ^ (1 << bit)).toByte
+        decodeMustBeClean(b => { BytesCodec.decode(b); () }, c)
+      }
+      // truncations (a partially-written blob)
+      for (cut <- Seq(1, 2, blob.length / 3, blob.length - 1))
+        decodeMustBeClean(b => { BytesCodec.decode(b); () }, java.util.Arrays.copyOf(blob, cut))
+    }
+    // pure junk
+    for (_ <- 0 until 300) {
+      val junk = new Array[Byte](1 + rnd.nextInt(200))
+      rnd.nextBytes(junk)
+      decodeMustBeClean(b => { BytesCodec.decode(b); () }, junk)
+    }
+  }
+
+  test("hostile input: bit-flipped long-chunk blobs raise cleanly (all codecs)") {
+    val rnd = new scala.util.Random(171717)
+    val cols = Seq(
+      mkCol(Array.tabulate(500)(i => 1700000000000000L + i * 1000L), 13),
+      mkCol(Array.tabulate(500)(i => (i % 7).toLong)),
+      mkCol(Array.tabulate(500)(i => (i % 100).toLong * 1000003L)))
+    val blobs = cols.flatMap(c => Seq(LongCodec.encodeAuto(c).blob, LongCodec.encodeRle(c),
+      LongCodec.encodeXor(c), LongCodec.encodeDictLong(c)))
+    for (blob <- blobs) {
+      val positions = (0 until math.min(blob.length, 128)) ++
+        Seq.fill(300)(rnd.nextInt(blob.length))
+      for (p <- positions; bit <- Seq(0, 4, 7)) {
+        val c = blob.clone()
+        c(p) = (c(p) ^ (1 << bit)).toByte
+        decodeMustBeClean(b => { LongCodec.decode(b); () }, c)
+      }
+      for (cut <- Seq(1, 2, blob.length / 2))
+        decodeMustBeClean(b => { LongCodec.decode(b); () }, java.util.Arrays.copyOf(blob, cut))
+    }
+  }
+
+  test("stats long-value escape: mostly-unique large values stop distinct hashing, low-card keeps dict") {
+    val rnd = new scala.util.Random(33)
+    // ~8 MB of unique ~1 MB documents: no chunk-local dict can win; the
+    // probe escape must cap hashing near DictProbeBytes instead of paying
+    // a full-chunk hash
+    val big = Array.fill(8) { val b = new Array[Byte](1 << 20); rnd.nextBytes(b); b }
+    val s = BytesCodec.stats(big)
+    assert(s.distinctCapped, "all-unique large values must trip the probe escape")
+    assert(s.distinctBytes <= BytesCodec.DictProbeBytes + (1 << 20),
+      s"hashed ${s.distinctBytes} distinct bytes past the probe budget")
+    // low-cardinality long values (the case the r1 advice protected):
+    // duplicates appear immediately, the dict estimate survives and wins
+    val a = new Array[Byte](1 << 20); rnd.nextBytes(a)
+    val b = new Array[Byte](1 << 20); rnd.nextBytes(b)
+    val rep = Array.tabulate[Array[Byte]](16)(i => if (i % 2 == 0) a else b)
+    val s2 = BytesCodec.stats(rep)
+    assert(!s2.distinctCapped && s2.distinct == 2)
+    val e = BytesCodec.encodeAuto(rep)
+    assert(e.codec == BytesCodec.DICT, s"got ${BytesCodec.names(e.codec)}")
+    assert(e.blob.length < (3 << 20), s"dict blob ${e.blob.length}")
+    bytesRoundtrip(rep, _ => e.blob)
+  }
 }

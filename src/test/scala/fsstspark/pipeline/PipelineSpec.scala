@@ -87,6 +87,31 @@ class PipelineSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("resumeColumns ignores checkpoint rows from columns outside the pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-xcol").toString + "/t"
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val chunk = pmod(col("doc_id"), lit(8L))
+    val specs = Seq(
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("n_chars", col("n_chars"), isLong = true))
+    // checkpoint holds full "text" rows plus rows for an UNRELATED column
+    // ("lang", e.g. from an earlier run with a different spec list): every
+    // chunk reaches count == specs.size without n_chars being present —
+    // the unfiltered r2 logic would skip all chunks and never encode it
+    val textOnly = EncodePipeline.encodeColumns(df, col("doc_id"), chunk,
+      Seq(EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8"))))
+    val langOnly = EncodePipeline.encodeColumns(df, col("doc_id"), chunk,
+      Seq(EncodePipeline.ColSpec("lang", encode(col("lang"), "UTF-8"))))
+    Checkpoint.write(textOnly, dir)
+    Checkpoint.write(langOnly, dir)
+    val n = Checkpoint.resumeColumns(df, col("doc_id"), chunk, specs, dir)
+    assert(n == 8, s"expected the 8 missing n_chars chunks encoded, got $n")
+    val decL = EncodePipeline.decodeLongsNullable(
+      Checkpoint.read(spark, dir).filter(col("column") === "n_chars"))
+    assert(decL.count() == df.count())
+  }
+
   test("verify() detects a corrupted value") {
     import spark.implicits._
     val kv = Queries.docsKV(spark, sf)
@@ -169,25 +194,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(idCodecs.subsetOf(Set("for", "bitpack", "delta", "rle_long")), s"ids chose $idCodecs")
   }
 
-  test("TableIO: manifest carries chunk lineage, key pruning finds the right chunk") {
+  test("TableIO: manifest prunes the SCAN to hit files; appends are O(batch)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("tableio").toString
     val io = new fsstspark.io.ParquetTableIO(root)
-    val kv = Queries.docsKV(spark, sf)
-    val enc = EncodePipeline.encodeBytes(kv, "text", Queries.docChunk)
-    io.writeChunks(enc, "docs")
-    val man = io.manifest(spark, "docs")
-    assert(man.count() == enc.count())
+    // zero-padded keys + local (range) chunking give chunks tight key
+    // ranges — the layout where manifest min/max pruning has teeth
+    // (hash chunks each span the whole key space by construction)
+    val kv = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("text"), "UTF-8").as("value")).as[KV]
+    // two batches (split by key) — the incremental manifest must cover
+    // both without a full-table rescan per append
+    val enc1 = EncodePipeline.encodeBytesLocal(kv.filter(col("key") < "00000250"), "text", 8L << 10)
+    val enc2 = EncodePipeline.encodeBytesLocal(kv.filter(col("key") >= "00000250"), "text", 8L << 10)
+    io.writeChunks(enc1, "docs")
+    io.writeChunks(enc2, "docs")
+    val man = io.manifest(spark, "docs").cache()
+    val nChunks = enc1.count() + enc2.count()
+    assert(man.count() == nChunks)
     assert(man.select("column").distinct().as[String].collect().toSeq == Seq("text"))
-    // pruning: the chunk containing doc 7 must decode doc 7
-    val hits = io.chunksForKey(spark, "docs", "7")
+    // pruning: the chunk containing doc 7 must decode doc 7...
+    val key = "00000007"
+    val hits = io.chunksForKey(spark, "docs", key)
+    val manifestHits = man.filter(col("min_key") <= key && col("max_key") >= key)
+    assert(hits.count() == manifestHits.count(), "decoded chunks != manifest hit rows")
     assert(hits.count() < man.count())
-    val dec = EncodePipeline.decodeBytes(hits).filter(col("key") === "7")
+    val dec = EncodePipeline.decodeBytes(hits).filter(col("key") === key)
     assert(dec.count() == 1)
-    // round-trip through the catalog
+    // ...and the SCAN must touch only the manifest-selected files, not the
+    // whole data directory (the 100 TB point-read requirement)
+    val hitFiles = manifestHits.select("file").distinct().as[String].collect().toSet
+    val scanned = hits.inputFiles.toSet
+    val allFiles = io.readChunks(spark, "docs").inputFiles.toSet
+    assert(scanned == hitFiles, s"scan read ${scanned.size} files, manifest selected ${hitFiles.size}")
+    assert(scanned.size < allFiles.size, "point lookup scanned the whole table")
+    // round-trip through the catalog across both batches
     val all = io.readChunks(spark, "docs")
     assert(EncodePipeline.verify(kv, EncodePipeline.decodeBytes(all))
       .filter(!col("matched")).count() == 0)
+    // repair rebuilds the same manifest content from data files alone
+    io.repairManifest(spark, "docs")
+    assert(io.manifest(spark, "docs").count() == nChunks)
+    man.unpersist()
+  }
+
+  test("checkpoint format versioning: resuming a pre-versioning checkpoint is a hard error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-ver").toString + "/chunks"
+    val kv = Queries.docsKV(spark, sf)
+    // simulate a round-1 (v1 chunk-id) checkpoint: parquet rows, NO marker
+    EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10)
+      .write.mode("append").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Checkpoint.resumeBytesLocal(kv, "text", dir, 8L << 10)
+    }
+    assert(e.getMessage.contains("format"))
+    // a marker-bearing checkpoint (written through Checkpoint.write) resumes fine
+    val dir2 = java.nio.file.Files.createTempDirectory("ckpt-ver2").toString + "/chunks"
+    Checkpoint.write(EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10), dir2)
+    assert(Checkpoint.resumeBytesLocal(kv, "text", dir2, 8L << 10) == 0)
   }
 
   test("pages generator is deterministic and partitioning-independent") {

@@ -67,6 +67,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids.contains((5000L, 5001L)), "genuine near-pair outside hot buckets was lost")
   }
 
+  test("dropped-bucket accounting is a queryable data output, not a log line") {
+    import spark.implicits._
+    val boiler = (0 until 1000).map(i => (i.toLong, "the same boilerplate text"))
+    val realA = (5000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val realB = (5001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa  ")
+    val docs = (boiler :+ realA :+ realB).toDF("doc_id", "text")
+    val res = Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 3, maxBucketSize = 100)
+    val dropped = res.droppedBuckets.collect()
+    assert(dropped.nonEmpty, "hot buckets were dropped but not accounted")
+    assert(dropped.forall(_.getAs[String]("method") == "simhash"))
+    // every degenerate block bucket holds the 1000 boilerplate docs
+    assert(dropped.forall(_.getAs[Long]("n_members") >= 1000L))
+    // the pairs frame from the SAME result still works and keeps the genuine pair
+    val ids = res.pairs.collect().map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
+    assert(ids.contains((5000L, 5001L)))
+    // a benign corpus drops nothing
+    val benign = Dedup.minhashDedup(syntheticDocs(), "doc_id", "text", threshold = 0.7)
+    assert(benign.droppedBuckets.count() == 0)
+  }
+
   test("minhash hot-bucket sampling fallback recovers pairs inside degenerate buckets, bounded") {
     import spark.implicits._
     // 500 identical docs: all buckets degenerate. Drop mode finds nothing;
