@@ -381,6 +381,32 @@ object Queries {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** The dropped-bucket accounting surfaced as an oracle-checkable query:
+    * every doc_id % 5 == 0 document is rewritten to identical boilerplate,
+    * so each of the 16 minhash bands has EXACTLY one bucket over the
+    * 50-member cap holding those n/5 docs. Minhash band buckets hash four
+    * 64-bit minhashes, so a benign bucket over the cap would require a
+    * 50-doc clique of near-identical natural texts (none exists in word
+    * soup at any sf), and unrelated collisions can only GROW a hot
+    * bucket — count 16 and the ≥n/5 member floor are scale-stable.
+    * (SimHash drop accounting is NOT oracled here: its 16-bit blocks over
+    * Zipf-correlated bits legitimately form natural hot buckets whose
+    * count grows with corpus size; TextOpsSpec covers it.)
+    */
+  def dedupDroppedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        lit("identical boilerplate page body repeated across the crawl"))
+        .otherwise(col("text")))
+    val floor = docs.filter(col("doc_id") % 5 === 0).count()
+    fsstspark.textops.Dedup.minhashDedup(
+        docs, "doc_id", "text", maxBucketSize = 50).droppedBuckets
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_dropped_buckets"),
+        (min(col("n_members")) >= floor).as("members_floor_ok"))
+      .orderBy("method")
+  }
+
   /** The n-gram Jaccard metric end-to-end on the planted near-dup pairs:
     * candidate GENERATION at scale belongs to minhash/simhash/embedding
     * LSH; this query verifies the exact word-shingle Jaccard computation

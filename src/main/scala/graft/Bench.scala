@@ -60,29 +60,45 @@ object Bench {
     EncodePipeline.encodeBytes(textKv, "text", chunk)
       .agg(sum("bytes_in")).head()
 
-    // zero-shuffle partition-local chunking (the Iceberg-rewrite job shape)
-    System.gc()
+    // Headline blocks run REPS times each; the committed number is the
+    // best rep and every rep's seconds are recorded — this host's
+    // throughput swings up to 4× on identical code (BASELINE.md), so a
+    // single-shot headline conflates host noise with regressions.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    def bestOf(name: String)(body: => Unit): Seq[Double] = {
+      val times = (0 until reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      results(name) = times.min
+      times
+    }
+
+    // zero-shuffle partition-local chunking (the Iceberg-rewrite job shape).
+    // Both columns under ONE action: the two encode DAGs are independent,
+    // so Spark schedules their stages concurrently instead of paying a
+    // driver barrier between two jobs (the real multi-column pipeline —
+    // encodeColumns — is single-pass for the same reason).
     var bytesLocal = 0L
-    time("pages_encode_local") {
+    val localReps = bestOf("pages_encode_local") {
       bytesLocal = EncodePipeline.encodeBytesLocal(textKv, "text", 4L << 20)
-        .agg(sum("bytes_in")).head().getLong(0) +
-        EncodePipeline.encodeBytesLocal(htmlKv, "html", 4L << 20)
-          .agg(sum("bytes_in")).head().getLong(0)
+        .union(EncodePipeline.encodeBytesLocal(htmlKv, "html", 4L << 20))
+        .agg(sum("bytes_in")).head().getLong(0)
     }
 
     // hash-chunked shuffle path, timed WITHOUT cache materialization mixed
     // in (the r1 shape cached inside the timed block, so the number mixed
     // encode work with block-manager writes)
-    System.gc()
     var bytesIn = 0L
     var bytesOut = 0L
-    time("pages_encode") {
-      val a = EncodePipeline.encodeBytes(textKv, "text", chunk)
+    val shuffleReps = bestOf("pages_encode") {
+      val r = EncodePipeline.encodeBytes(textKv, "text", chunk)
+        .union(EncodePipeline.encodeBytes(htmlKv, "html", chunk))
         .agg(sum("bytes_in"), sum("bytes_out")).head()
-      val b = EncodePipeline.encodeBytes(htmlKv, "html", chunk)
-        .agg(sum("bytes_in"), sum("bytes_out")).head()
-      bytesIn = a.getLong(0) + b.getLong(0)
-      bytesOut = a.getLong(1) + b.getLong(1)
+      bytesIn = r.getLong(0)
+      bytesOut = r.getLong(1)
     }
 
     // decode timed against cached chunk blobs (untimed materialization),
@@ -90,9 +106,8 @@ object Bench {
     val encText = EncodePipeline.encodeBytes(textKv, "text", chunk).cache()
     val encHtml = EncodePipeline.encodeBytes(htmlKv, "html", chunk).cache()
     encText.count(); encHtml.count()
-    System.gc()
     var bytesDecoded = 0L
-    time("pages_decode") {
+    val decodeReps = bestOf("pages_decode") {
       bytesDecoded = EncodePipeline.decodeBytes(encText.union(encHtml))
         .agg(sum(octet_length(col("value")))).head().getLong(0)
     }
@@ -103,12 +118,14 @@ object Bench {
     val decGbps = bytesIn / 1e9 / results("pages_decode")
     val ratio = bytesOut.toDouble / bytesIn
 
+    def repArr(ts: Seq[Double]): String = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.values.filter(_ > 0).sum}%.3f"
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""cpus":$cpus,"pages":$nPages,"pages_bytes_in":$bytesIn,"pages_bytes_out":$bytesOut,""" +
-        f""""pages_ratio":$ratio%.4f,"encode_gbps":$encGbps%.3f,"encode_shuffle_gbps":$encShuffleGbps%.3f,"decode_gbps":$decGbps%.3f}""")
+        f""""pages_ratio":$ratio%.4f,"encode_gbps":$encGbps%.3f,"encode_shuffle_gbps":$encShuffleGbps%.3f,"decode_gbps":$decGbps%.3f,""" +
+        s""""headline_reps":{"local_sec":${repArr(localReps)},"shuffle_sec":${repArr(shuffleReps)},"decode_sec":${repArr(decodeReps)}}}""")
     spark.stop()
   }
 }

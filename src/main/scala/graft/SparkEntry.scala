@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_minhash_planted" -> (Queries.dedupMinhashPlanted _),
     "dedup_simhash_planted" -> (Queries.dedupSimhashPlanted _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_dropped_buckets" -> (Queries.dedupDroppedBuckets _),
     "dedup_ngram" -> (Queries.dedupNgram _),
     "text_tokens" -> (Queries.textTokens _),
     "text_quality" -> (Queries.textQuality _),
@@ -240,6 +241,13 @@ object SparkEntry {
          FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""",
     "dedup_ngram" ->
       """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b
-         FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a"""
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""",
+    // recall-loss accounting: one degenerate bucket per minhash band (16),
+    // each holding at least the n/5 boilerplate docs (unrelated collisions
+    // only ever grow a hot bucket; 64-bit band hashes make benign over-cap
+    // buckets impossible without a 50-doc near-identical clique).
+    "dedup_dropped_buckets" ->
+      """SELECT 'minhash' AS method, CAST(16 AS BIGINT) AS n_dropped_buckets,
+         true AS members_floor_ok"""
   )
 }
