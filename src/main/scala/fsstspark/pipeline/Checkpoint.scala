@@ -177,6 +177,45 @@ object Checkpoint {
     n
   }
 
+  /** Zero-shuffle multi-column resume ([[EncodePipeline.encodeColumnsLocal]]):
+    * a chunk is complete only when EVERY column of the pass is present; its
+    * content-derived id then joins the broadcast skip array so no encode
+    * work is spent on it. Chunks with a partial column set (a killed run's
+    * torn append) re-encode fully, and the (chunk, column) anti-join drops
+    * the rows that already landed — same idempotence contract as
+    * [[resumeColumns]], with zero shuffles anywhere.
+    */
+  def resumeColumnsLocal(
+      df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      specs: Seq[EncodePipeline.ColSpec],
+      path: String,
+      targetChunkBytes: Long = 16L << 20
+  ): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    checkVersion(spark, path)
+    val names = specs.map(_.name)
+    val doneIds: Array[Long] =
+      if (!exists(spark, path)) Array.emptyLongArray
+      else completed(spark, path).filter(col("column").isin(names: _*))
+        .groupBy("chunk_id").count()
+        .filter(col("count") === specs.size.toLong)
+        .select("chunk_id").collect().map(_.getLong(0))
+    val donePairs =
+      if (!exists(spark, path)) Seq.empty[(Long, String)].toDF("c", "n")
+      else completed(spark, path).filter(col("column").isin(names: _*))
+        .withColumnRenamed("chunk_id", "c").withColumnRenamed("column", "n")
+    val enc = EncodePipeline.encodeColumnsLocal(df, key, specs, targetChunkBytes, doneIds)
+      .join(broadcast(donePairs), col("chunk_id") === col("c") && col("column") === col("n"), "left_anti")
+      .as[ChunkResult]
+    enc.persist()
+    val n = enc.count()
+    if (n > 0) write(enc, path)
+    enc.unpersist()
+    n
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

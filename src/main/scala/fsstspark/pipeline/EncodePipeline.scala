@@ -347,6 +347,120 @@ object EncodePipeline {
       }
   }
 
+  /** Zero-shuffle multi-column encode: the Iceberg data-file REWRITE shape
+    * for a whole table. Each task cuts its own partition's row stream into
+    * consecutive chunks of ~`targetChunkBytes` (bytes summed across ALL
+    * encoded columns; never empty, so one giant row forms its own chunk)
+    * and emits one [[ChunkResult]] per (chunk, column) with a
+    * content-derived chunk id — the only data movement in the whole job is
+    * the scan itself. Compare [[encodeColumns]], which buys globally
+    * key-deterministic chunk membership at the cost of one shuffle: at
+    * 10^12 rows the rewrite job wants THIS shape, because input layout
+    * (file/partition ranges) IS the lineage. `completed` chunk ids (from
+    * [[Checkpoint]]) are skipped before any encode work, broadcast as a
+    * sorted primitive array exactly like [[encodeBytesLocal]].
+    */
+  def encodeColumnsLocal(
+      df: DataFrame,
+      key: Column,
+      specs: Seq[ColSpec],
+      targetChunkBytes: Long = 16L << 20,
+      completed: Array[Long] = Array.emptyLongArray
+  ): Dataset[ChunkResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sel = Seq(key.cast("string").as("key")) ++
+      specs.zipWithIndex.map { case (sp, i) =>
+        (if (sp.isLong) sp.value.cast("long")
+         else if (sp.isDouble) sp.value.cast("double")
+         else sp.value).as(s"c$i")
+      }
+    val names = specs.map(_.name).toArray
+    val isLong = specs.map(sp => sp.isLong || sp.isDouble).toArray
+    val isDouble = specs.map(_.isDouble).toArray
+    val sorted = completed.clone()
+    java.util.Arrays.sort(sorted)
+    val done = spark.sparkContext.broadcast(sorted)
+    df.select(sel: _*).mapPartitions { rows =>
+      val doneIds = done.value
+      localRowChunks(rows, names.length, isLong, targetChunkBytes).flatMap { chunk =>
+        val n = chunk.length
+        val keys = new Array[String](n)
+        var i = 0
+        while (i < n) { keys(i) = chunk(i).getString(0); i += 1 }
+        val cid = localChunkId(keys)
+        if (java.util.Arrays.binarySearch(doneIds, cid) >= 0) Iterator.empty
+        else {
+          val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob
+          var mn = keys(0)
+          var mx = keys(0)
+          i = 1
+          while (i < n) {
+            if (keys(i) < mn) mn = keys(i)
+            if (keys(i) > mx) mx = keys(i)
+            i += 1
+          }
+          names.indices.iterator.map { ci =>
+            val fi = 1 + ci
+            if (isLong(ci)) {
+              val values = new Array[Long](n)
+              val nulls = new Array[Boolean](n)
+              val dbl = isDouble(ci)
+              var j = 0
+              while (j < n) {
+                if (chunk(j).isNullAt(fi)) nulls(j) = true
+                else values(j) =
+                  if (dbl) java.lang.Double.doubleToRawLongBits(chunk(j).getDouble(fi))
+                  else chunk(j).getLong(fi)
+                j += 1
+              }
+              mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls)
+            } else {
+              val values = new Array[Array[Byte]](n)
+              var j = 0
+              while (j < n) {
+                if (!chunk(j).isNullAt(fi)) values(j) = chunk(j).getAs[Array[Byte]](fi)
+                j += 1
+              }
+              mkBytesResult(cid, names(ci), n, mn, mx, keyBlob, values)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Cuts a row stream into consecutive chunks of ~targetChunkBytes,
+    * counting every encoded column's bytes (8 B per long/double, value
+    * length per binary).
+    */
+  private def localRowChunks(
+      it: Iterator[org.apache.spark.sql.Row],
+      nCols: Int,
+      isLong: Array[Boolean],
+      targetChunkBytes: Long
+  ): Iterator[Array[org.apache.spark.sql.Row]] =
+    new Iterator[Array[org.apache.spark.sql.Row]] {
+      private val in = it
+      def hasNext: Boolean = in.hasNext
+      def next(): Array[org.apache.spark.sql.Row] = {
+        val rows = new ArrayBuffer[org.apache.spark.sql.Row]
+        var bytes = 0L
+        while (in.hasNext && bytes < targetChunkBytes) {
+          val r = in.next()
+          rows += r
+          var ci = 0
+          while (ci < nCols) {
+            val fi = 1 + ci
+            if (!r.isNullAt(fi))
+              bytes += (if (isLong(ci)) 8L else r.getAs[Array[Byte]](fi).length.toLong)
+            ci += 1
+          }
+        }
+        rows.toArray
+      }
+    }
+
   /** Streams rows sorted by chunk_id (field 0) into one buffered chunk at
     * a time.
     */

@@ -555,6 +555,45 @@ object Queries {
       .orderBy("column")
   }
 
+  /** The north-rule pipeline in its 100 TB shape: ZERO-shuffle whole-table
+    * rewrite ([[EncodePipeline.encodeColumnsLocal]]) — every pages column
+    * encoded in one scan with partition-local chunking (input layout IS
+    * the lineage), then the same distributed round-trip verification as
+    * [[pagesPipeline]]. Chunk membership is layout-dependent, so chunk
+    * counts are NOT in the oracled output; per-column rows, input bytes
+    * and the zero-mismatch invariant are exact DuckDB oracles.
+    */
+  def pagesLocalPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = pagesFromDocs(s, dir)
+    val byteCols = Seq(
+      "url" -> encode(col("url"), "UTF-8"),
+      "text" -> encode(col("text"), "UTF-8"),
+      "html" -> col("html"))
+    val specs = byteCols.map { case (n, v) => EncodePipeline.ColSpec(n, v) } :+
+      EncodePipeline.ColSpec("warc_ts", unix_micros(col("warc_ts")), isLong = true)
+    val enc = EncodePipeline.encodeColumnsLocal(pages, col("url"), specs, 256L << 10).persist()
+    val byteMismatch = byteCols.map { case (n, v) =>
+      val orig = pages.select(col("url").as("key"), v.as("value")).as[KV]
+      val dec = EncodePipeline.decodeBytes(enc.filter(col("column") === n))
+      EncodePipeline.verify(orig, dec)
+        .select(lit(n).as("column"), col("matched"))
+    }.reduce(_ unionByName _)
+    val tsOrig = pages.select(col("url").as("key"), unix_micros(col("warc_ts")).as("value")).as[LongKV]
+    val tsDec = EncodePipeline.decodeLongs(enc.filter(col("column") === "warc_ts"))
+    val mismatch = byteMismatch
+      .unionByName(EncodePipeline.verifyLongs(tsOrig, tsDec)
+        .select(lit("warc_ts").as("column"), col("matched")))
+      .groupBy("column")
+      .agg(sum(when(col("matched"), 0L).otherwise(1L)).as("n_mismatch"))
+    enc.groupBy("column")
+      .agg(sum("n_rows").as("n_rows"), sum("bytes_in").as("bytes_in"))
+      .join(mismatch, Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("bytes_in"),
+        coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
+      .orderBy("column")
+  }
+
   /** Multimodal plumbing over the pages' binary html column: batched
     * feature extraction (deterministic fake decoder — see
     * [[fsstspark.textops.Multimodal]]) summarized per media type.

@@ -58,8 +58,9 @@ object SparkEntry {
     "ann_bruteforce" -> (Queries.annBruteforce _),
     "ann_lsh" -> (Queries.annLsh _),
     "ann_ivf" -> (Queries.annIvf _),
-    // the north-rule pages table end-to-end
+    // the north-rule pages table end-to-end (shuffle-chunked + zero-shuffle)
     "pages_pipeline" -> (Queries.pagesPipeline _),
+    "pages_local_pipeline" -> (Queries.pagesLocalPipeline _),
     // multimodal plumbing + streaming ingest front end
     "multimodal_features" -> (Queries.multimodalFeatures _),
     "streaming_ingest" -> (Queries.streamingIngest _)
@@ -209,6 +210,22 @@ object SparkEntry {
            UNION ALL SELECT 'text', nc, nr, text_b, 0 FROM m
            UNION ALL SELECT 'url', nc, nr, url_b, 0 FROM m
            UNION ALL SELECT 'warc_ts', nc, nr, 8 * nr, 0 FROM m)
+         ORDER BY "column"""",
+    // the zero-shuffle whole-table rewrite: chunk membership is
+    // layout-dependent (not oracled); rows/bytes/mismatch are exact.
+    "pages_local_pipeline" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+           CAST(sum(strlen('https://' || source || '/doc/' || doc_id)) AS BIGINT) AS url_b,
+           CAST(sum(strlen(text)) AS BIGINT) AS text_b,
+           CAST(sum(strlen('<html><body><h1>https://' || source || '/doc/' || doc_id ||
+             '</h1><p>' || text || '</p></body></html>')) AS BIGINT) AS html_b
+           FROM documents)
+         SELECT * FROM (
+           SELECT 'html' AS "column", nr AS n_rows, html_b AS bytes_in,
+                  CAST(0 AS BIGINT) AS n_mismatch FROM m
+           UNION ALL SELECT 'text', nr, text_b, 0 FROM m
+           UNION ALL SELECT 'url', nr, url_b, 0 FROM m
+           UNION ALL SELECT 'warc_ts', nr, 8 * nr, 0 FROM m)
          ORDER BY "column"""",
     "streaming_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

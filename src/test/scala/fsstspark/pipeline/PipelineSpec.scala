@@ -87,6 +87,57 @@ class PipelineSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("encodeColumnsLocal: zero-shuffle multi-column rewrite round-trips, deterministic ids, resumes") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet").repartition(4).cache()
+    df.count()
+    val specs = Seq(
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("lang", encode(col("lang"), "UTF-8")),
+      EncodePipeline.ColSpec("n_chars", col("n_chars"), isLong = true))
+    val enc = EncodePipeline.encodeColumnsLocal(df, col("doc_id"), specs, 32L << 10).cache()
+    // one ChunkResult per (chunk, column); every chunk carries all columns
+    val perCol = enc.groupBy("column").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perCol.keySet == Set("text", "lang", "n_chars"))
+    assert(perCol.values.toSet.size == 1, s"column chunk counts diverge: $perCol")
+    assert(perCol("text") > 1, "expected multiple local chunks")
+    // byte + long columns round-trip bit-identical
+    for (c <- Seq("text", "lang")) {
+      val orig = df.select(col("doc_id").cast("string").as("key"),
+        encode(col(c), "UTF-8").as("value")).as[KV]
+      val dec = EncodePipeline.decodeBytes(enc.filter(col("column") === c))
+      assert(EncodePipeline.verify(orig, dec).filter(!col("matched")).count() == 0, s"$c mismatch")
+    }
+    val origL = df.select(col("doc_id").cast("string").as("key"), col("n_chars").as("value")).as[LongKV]
+    val decL = EncodePipeline.decodeLongs(enc.filter(col("column") === "n_chars"))
+    assert(EncodePipeline.verifyLongs(origL, decL).filter(!col("matched")).count() == 0)
+    // chunk ids are content-derived → identical across reruns of same input
+    val ids1 = enc.select("chunk_id").distinct().as[Long].collect().sorted.toSeq
+    val ids2 = EncodePipeline.encodeColumnsLocal(df, col("doc_id"), specs, 32L << 10)
+      .select("chunk_id").distinct().as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // resume: half the chunks fully committed + one chunk partially (one
+    // column) → resumeColumnsLocal completes to the uninterrupted result
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-cols-local").toString + "/t"
+    val half = ids1.filter(_ % 2 == 0).toSet
+    Checkpoint.write(enc.filter(col("chunk_id").isin(half.toSeq: _*)), dir)
+    val partialChunk = ids1.find(id => !half.contains(id)).get
+    Checkpoint.write(enc.filter(col("chunk_id") === partialChunk && col("column") === "text"), dir)
+    val n = Checkpoint.resumeColumnsLocal(df, col("doc_id"), specs, dir, 32L << 10)
+    val expected = (ids1.size - half.size) * specs.size - 1 // partial chunk re-encodes minus its present row
+    assert(n == expected, s"expected $expected resumed results, got $n")
+    val all = Checkpoint.read(spark, dir)
+    assert(all.count() == ids1.size.toLong * specs.size)
+    assert(all.select("chunk_id", "column").distinct().count() == all.count())
+    assert(Checkpoint.resumeColumnsLocal(df, col("doc_id"), specs, dir, 32L << 10) == 0)
+    // decoded checkpoint equals the original column bit-for-bit
+    val decAll = EncodePipeline.decodeBytes(all.filter(col("column") === "text"))
+    val origAll = df.select(col("doc_id").cast("string").as("key"),
+      encode(col("text"), "UTF-8").as("value")).as[KV]
+    assert(EncodePipeline.verify(origAll, decAll).filter(!col("matched")).count() == 0)
+    enc.unpersist(); df.unpersist()
+  }
+
   test("resumeColumns ignores checkpoint rows from columns outside the pass") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ckpt-xcol").toString + "/t"
