@@ -24,11 +24,35 @@ trait TableIO {
     * (the read path of an Iceberg metadata filter).
     */
   def chunksForKey(spark: SparkSession, table: String, key: String): Dataset[ChunkResult]
+
+  /** Logically delete chunks (Iceberg delete-file semantics): the ids land
+    * in a tombstone table and every read path filters them. Data files are
+    * immutable; physical reclamation is a separate GC concern.
+    */
+  def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
   private def dataDir(table: String) = s"$root/$table/data"
   private def manifestDir(table: String) = s"$root/$table/manifest"
+  private def tombDir(table: String) = s"$root/$table/tombstones"
+
+  private def hasTombstones(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** (chunk_id, column) pairs logically deleted; empty frame when none. */
+  private def tombstones(spark: SparkSession, table: String): DataFrame =
+    if (hasTombstones(spark, table)) spark.read.parquet(tombDir(table))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, String)].toDF("chunk_id", "column")
+    }
+
+  private def notTombstoned(df: DataFrame, spark: SparkSession, table: String): DataFrame =
+    if (!hasTombstones(spark, table)) df
+    else df.join(broadcast(tombstones(spark, table)), Seq("chunk_id", "column"), "left_anti")
 
   /** Append a batch of chunks. Each batch lands under its own `batch=`
     * partition directory, so the new manifest rows are derived by scanning
@@ -62,11 +86,12 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   override def readChunks(spark: SparkSession, table: String): Dataset[ChunkResult] = {
     import spark.implicits._
-    spark.read.parquet(dataDir(table)).drop("batch").as[ChunkResult]
+    notTombstoned(spark.read.parquet(dataDir(table)).drop("batch"), spark, table)
+      .as[ChunkResult]
   }
 
   override def manifest(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(manifestDir(table))
+    notTombstoned(spark.read.parquet(manifestDir(table)), spark, table)
 
   /** Point-read path: the manifest (tiny, driver-collectable hit list)
     * selects both the FILES to open and the CHUNK IDS to keep, so the scan
@@ -85,9 +110,18 @@ final class ParquetTableIO(root: String) extends TableIO {
     if (hits.isEmpty) return spark.emptyDataset[ChunkResult]
     val files = hits.map(_.getString(0)).distinct
     val ids = hits.map(_.getLong(1)).distinct
-    spark.read.option("basePath", dataDir(table)).parquet(files: _*)
-      .filter(col("chunk_id").isin(ids: _*))
-      .drop("batch")
+    // the tombstone filter re-applies AFTER the file scan: a hit file can
+    // also hold a deleted (chunk, column) row whose chunk_id survives
+    // through another column's manifest entry
+    notTombstoned(
+      spark.read.option("basePath", dataDir(table)).parquet(files: _*)
+        .filter(col("chunk_id").isin(ids: _*))
+        .drop("batch"),
+      spark, table)
       .as[ChunkResult]
   }
+
+  override def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit =
+    chunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"))
+      .write.mode(SaveMode.Append).parquet(tombDir(table))
 }

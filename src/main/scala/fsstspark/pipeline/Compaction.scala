@@ -1,0 +1,83 @@
+package fsstspark.pipeline
+
+import fsstspark.io.TableIO
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Chunk compaction — the Iceberg `rewrite_data_files` analogue for the
+  * chunk catalog. Streaming ingest ([[fsstspark.streaming.StreamingEncode]])
+  * lands one batch of chunks per micro-batch, so low-rate sources accrete
+  * under-sized chunks whose fixed costs (symbol table per chunk, manifest
+  * row per chunk, task per chunk) erode both compression ratio and scan
+  * efficiency. Compaction decodes the under-sized chunks of one column,
+  * re-clusters them by key (`repartitionByRange` + in-partition key sort —
+  * so the rewritten chunks also carry TIGHT min/max key ranges, which is
+  * what makes manifest point-read pruning effective), re-encodes at the
+  * target size through the auto-selector, appends the new chunks, and
+  * tombstones the old ones.
+  *
+  * The victim set (chunk ids being compacted) is SNAPSHOTTED to the driver
+  * before anything is written: catalog reads resolve their file listing
+  * lazily, so a plan kept across the append would otherwise see — and
+  * tombstone — the chunks this very compaction just wrote. The snapshot is
+  * ids+column only (tens of bytes per chunk), bounded by the compaction
+  * batch, never the table.
+  *
+  * Atomicity: new chunks are written BEFORE the old ones are tombstoned.
+  * A crash between the two steps leaves duplicates visible until the
+  * compaction is re-run; a real Iceberg catalog commits the add+delete as
+  * one snapshot — that transactional seam belongs to the catalog this
+  * class emulates (SURVEY.md §7.0), not to the operator.
+  */
+object Compaction {
+
+  final case class Result(chunksCompacted: Long, chunksWritten: Long, bytesRewritten: Long)
+
+  /** Rewrite every chunk of `column` whose input bytes are below
+    * `minChunkBytes` into ~`targetChunkBytes` chunks. No-op (returns zero)
+    * when fewer than two chunks qualify. Content-derived chunk ids make
+    * the rewrite idempotent: a rewritten chunk that is content-identical
+    * to an existing one is neither re-written nor tombstoned.
+    */
+  def compactColumn(
+      spark: SparkSession,
+      io: TableIO,
+      table: String,
+      column: String,
+      minChunkBytes: Long,
+      targetChunkBytes: Long = 16L << 20
+  ): Result = {
+    import spark.implicits._
+    val small = io.readChunks(spark, table)
+      .filter(col("column") === column && col("bytes_in") < minChunkBytes)
+    // driver snapshot of the victim set, taken before any write mutates
+    // the directory the lazy listing would re-resolve against
+    val victims = small.select(col("chunk_id"), col("bytes_in"))
+      .as[(Long, Long)].collect()
+    if (victims.length < 2) return Result(0, 0, 0)
+    val oldIds = victims.map(_._1).toSet
+    val bytes = victims.map(_._2).sum
+    // re-cluster by key so rewritten chunks are key ranges (tight manifest
+    // min/max); partition count sized so each partition emits a handful of
+    // target-size chunks
+    val parts = math.max(1, (bytes / (4 * targetChunkBytes)).toInt)
+    val kv = EncodePipeline.decodeBytes(small)
+      .repartitionByRange(parts, col("key"))
+      .sortWithinPartitions("key")
+      .as[KV]
+    val rewritten = EncodePipeline.encodeBytesLocal(kv, column, targetChunkBytes).persist()
+    try {
+      val newIds = rewritten.select("chunk_id").as[Long].collect().toSet
+      val overlap = newIds.intersect(oldIds) // content-identical → keep original row
+      val toWrite =
+        if (overlap.isEmpty) rewritten
+        else rewritten.filter(!col("chunk_id").isin(overlap.toSeq: _*)).as[ChunkResult]
+      val nWritten = (newIds -- overlap).size.toLong
+      if (nWritten > 0) io.writeChunks(toWrite, table)
+      val removeRows = (oldIds -- overlap).toSeq.map(id => (id, column))
+      if (removeRows.nonEmpty)
+        io.removeChunks(spark, table, removeRows.toDF("chunk_id", "column"))
+      Result(removeRows.size.toLong, nWritten, bytes)
+    } finally rewritten.unpersist()
+  }
+}

@@ -663,6 +663,32 @@ object Queries {
       decode(col("value"), "UTF-8").as("text")).orderBy("doc_id")
   }
 
+  /** Catalog compaction end-to-end (Iceberg `rewrite_data_files` shape):
+    * build a deliberately fragmented catalog (8 KB chunks — the streaming
+    * micro-batch accretion pattern), compact to 128 KB with tombstone
+    * deletes, and verify the table reads back bit-identical with strictly
+    * fewer chunks. Rows and the zero-mismatch invariant are DuckDB-oracled;
+    * chunk counts are layout-dependent and surfaced as a boolean.
+    */
+  def catalogCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = documents(s, dir)
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("text"), "UTF-8").as("value")).as[KV]
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10), "docs")
+    val before = io.readChunks(s, "docs").count()
+    val res = fsstspark.pipeline.Compaction.compactColumn(
+      s, io, "docs", "text", minChunkBytes = 1L << 20, targetChunkBytes = 128L << 10)
+    val after = io.readChunks(s, "docs").count()
+    EncodePipeline.verify(kv, EncodePipeline.decodeBytes(io.readChunks(s, "docs")))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("matched"), 0L).otherwise(1L)).as("n_mismatch"))
+      .select(col("n_rows"), col("n_mismatch"),
+        lit(after < before && res.chunksCompacted == before).as("compacted_ok"))
+  }
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

