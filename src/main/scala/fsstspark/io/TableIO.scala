@@ -30,6 +30,15 @@ trait TableIO {
     * immutable; physical reclamation is a separate GC concern.
     */
   def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit
+
+  /** Whether the table has any committed data (readable without error). */
+  def tableExists(spark: SparkSession, table: String): Boolean
+
+  /** The tombstoned (chunk_id, column) pairs. Ingest dedup must treat
+    * these as "already ingested": a chunk compacted away was present once,
+    * and replaying its source must not revive it.
+    */
+  def deletedChunks(spark: SparkSession, table: String): DataFrame
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
@@ -124,4 +133,12 @@ final class ParquetTableIO(root: String) extends TableIO {
   override def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit =
     chunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"))
       .write.mode(SaveMode.Append).parquet(tombDir(table))
+
+  override def tableExists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dataDir(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def deletedChunks(spark: SparkSession, table: String): DataFrame =
+    tombstones(spark, table)
 }

@@ -55,6 +55,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(Checkpoint.read(spark, ckpt).count() == all.count(), "replay created duplicates")
   }
 
+  test("streaming into the catalog: exactly-once chunks, periodic compaction converges") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream-cat").toString
+    val src = s"$root/src"
+    val io = new fsstspark.io.ParquetTableIO(s"$root/catalog")
+
+    def writeBatch(from: Long, until: Long): Unit =
+      PagesGen.pages(spark, until, seed = 11).filter(col("warc_ts") >= lit(new java.sql.Timestamp((1735689600L + from) * 1000L)))
+        .coalesce(2).write.mode("append").parquet(src)
+
+    writeBatch(0, 150)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(state: String): Unit = {
+      val q = StreamingEncode.startCatalog(spark, src, schema, "url", "text", "text",
+        io, "pages", state, targetChunkBytes = 64L << 10,
+        compactEvery = 1, minChunkBytes = 16L << 10)
+      q.awaitTermination()
+    }
+    runOnce(s"$root/state")
+    val n1 = io.readChunks(spark, "pages").count()
+    assert(n1 > 0)
+    writeBatch(150, 300)
+    runOnce(s"$root/state")
+    val chunks = io.readChunks(spark, "pages")
+    assert(chunks.select("chunk_id").distinct().count() == chunks.count(), "duplicate chunks")
+    // full corpus round-trips from the catalog (through any compactions)
+    val expected = spark.read.parquet(src)
+      .select(col("url").as("key"), encode(col("text"), "UTF-8").as("value")).as[KV]
+    assert(EncodePipeline.verify(expected, EncodePipeline.decodeBytes(chunks))
+      .filter(!col("matched")).count() == 0)
+    // manifest agrees with the live (post-tombstone) chunk set
+    assert(io.manifest(spark, "pages").count() == chunks.count())
+    // replaying the whole stream from fresh state adds nothing (ids skip)
+    val before = chunks.count()
+    runOnce(s"$root/state2")
+    assert(io.readChunks(spark, "pages").count() == before, "replay created duplicates")
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     import spark.implicits._
     val pages = PagesGen.pages(spark, 100, seed = 4).cache()
