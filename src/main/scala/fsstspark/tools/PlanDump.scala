@@ -47,6 +47,12 @@ object PlanDump {
       |re-encoded ~5×). Every verification is a distributed join-compare of
       |decoded vs original keyed rows — NO driver-side collect anywhere.
       |Mismatch counts and metrics meet in a small final join.""".stripMargin,
+    "pages_local_pipeline" -> """The 10^12-row rewrite shape: all four pages
+      |columns encode in ONE MapPartitions directly over the scan — NO
+      |Exchange anywhere between source and chunk results (partition-local
+      |chunking; input layout is the lineage). The verification joins are
+      |the only shuffles in the job, exactly as at cluster scale where the
+      |rewrite itself must not move data.""".stripMargin,
     "dedup_minhash" -> """Bucketed LSH candidate generation: narrow map for
       |signatures, equi-join on (band, bhash) — never a cross join — with
       |the hot-bucket guard as a broadcast left-anti against the (tiny)
