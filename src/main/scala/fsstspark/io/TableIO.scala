@@ -141,4 +141,37 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   override def deletedChunks(spark: SparkSession, table: String): DataFrame =
     tombstones(spark, table)
+
+  /** Physical reclamation, safe subset: delete data files whose EVERY
+    * (chunk, column) row is tombstoned, then rebuild the manifest. No data
+    * is copied, so there is no duplicate-visibility window — a crash
+    * leaves some dead files on disk and a re-run finishes the job (partial
+    * files keep their tombstone filtering; reclaiming them would need the
+    * copy-and-swap a real Iceberg snapshot commit provides). The tombstone
+    * list itself is RETAINED: it is also the ingest ledger — streaming
+    * replay relies on compacted-away chunk ids staying "already ingested"
+    * ([[deletedChunks]]). Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, table: String): Long = {
+    if (!hasTombstones(spark, table)) return 0L
+    // raw manifest (tombstones NOT filtered) → per-file live counts
+    val raw = spark.read.parquet(manifestDir(table))
+    val tomb = tombstones(spark, table).distinct()
+    val dead = raw
+      .join(broadcast(tomb.withColumn("__dead", lit(1))), Seq("chunk_id", "column"), "left")
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("__dead"), lit(0))).as("nDead"))
+      .filter(col("n") === col("nDead"))
+      .select("file").distinct()
+      .collect().map(_.getString(0))
+    if (dead.isEmpty) return 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    var deleted = 0L
+    dead.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (p.getFileSystem(conf).delete(p, false)) deleted += 1
+    }
+    repairManifest(spark, table)
+    deleted
+  }
 }

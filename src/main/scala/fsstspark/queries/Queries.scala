@@ -682,11 +682,15 @@ object Queries {
     val res = fsstspark.pipeline.Compaction.compactColumn(
       s, io, "docs", "text", minChunkBytes = 1L << 20, targetChunkBytes = 128L << 10)
     val after = io.readChunks(s, "docs").count()
+    // physical reclamation: every pre-compaction file is fully tombstoned,
+    // so vacuum must delete files while reads stay bit-identical
+    val nDeleted = io.vacuum(s, "docs")
     EncodePipeline.verify(kv, EncodePipeline.decodeBytes(io.readChunks(s, "docs")))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("matched"), 0L).otherwise(1L)).as("n_mismatch"))
       .select(col("n_rows"), col("n_mismatch"),
-        lit(after < before && res.chunksCompacted == before).as("compacted_ok"))
+        lit(after < before && res.chunksCompacted == before).as("compacted_ok"),
+        lit(nDeleted > 0).as("vacuumed_ok"))
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =

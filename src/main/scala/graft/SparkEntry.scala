@@ -130,10 +130,11 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
          WHERE doc_id IN (7, 23, 41) ORDER BY doc_id""",
     // compaction must preserve every byte while strictly reducing chunk
-    // count (the fragmented fixture guarantees >1 under-floor chunk).
+    // count (the fragmented fixture guarantees >1 under-floor chunk), and
+    // vacuum must physically reclaim the fully-tombstoned original files.
     "catalog_compaction" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch,
-         true AS compacted_ok FROM documents""",
+         true AS compacted_ok, true AS vacuumed_ok FROM documents""",
     "q_window_runs" ->
       """SELECT chunk_id, CAST(sum(CASE WHEN prev IS NULL OR prev <> lang
          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs

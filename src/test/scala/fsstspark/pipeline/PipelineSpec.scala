@@ -322,6 +322,25 @@ class PipelineSpec extends AnyFunSuite {
     val res2 = fsstspark.pipeline.Compaction.compactColumn(
       spark, io, "docs", "text", minChunkBytes = 16L << 10, targetChunkBytes = 64L << 10)
     assert(res2.chunksCompacted == 0, s"re-compaction should be a no-op, rewrote ${res2.chunksCompacted}")
+    // vacuum physically reclaims fully-tombstoned files; reads unchanged
+    // and the tombstone ledger (ingest dedup) survives
+    def dataFiles(): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/docs/data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = dataFiles()
+    val nDeleted = io.vacuum(spark, "docs")
+    assert(nDeleted > 0, "vacuum reclaimed nothing despite fully-tombstoned files")
+    assert(dataFiles() == filesBefore - nDeleted)
+    assert(io.readChunks(spark, "docs").count() == after.count())
+    assert(EncodePipeline.verify(kv, EncodePipeline.decodeBytes(io.readChunks(spark, "docs")))
+      .filter(!col("matched")).count() == 0)
+    assert(io.deletedChunks(spark, "docs").count() > 0, "tombstone ledger must survive vacuum")
+    assert(io.manifest(spark, "docs").count() == after.count())
     after.unpersist()
   }
 
