@@ -163,9 +163,12 @@ object BytesCodec {
     val codec = r.readByte()
     val n = r.readVarInt()
     // corrupt-count guard: every codec spends ≥1 blob byte per value except
-    // degenerate all-null/constant runs, which stay far under the floor —
-    // a flipped count byte must fail here, not allocate gigabytes
-    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 24),
+    // degenerate all-null/constant runs — and those are bounded by the
+    // encoder's 32 B/row chunk floor (EncodePipeline.RowFloorBytes), which
+    // keeps any legitimate chunk far below this ceiling even at a 1 GB
+    // chunk target. A flipped count byte must fail here, not allocate
+    // gigabytes.
+    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 26),
       s"corrupt bytes blob: value count $n implausible for ${blob.length}-byte blob")
     val out = new Array[Array[Byte]](n)
     codec match {

@@ -255,8 +255,9 @@ object LongCodec {
     // corrupt-count guard (see BytesCodec.decode): bound the allocation
     // before trusting a self-declared count from a potentially bit-flipped
     // blob; constant/all-null columns legitimately pack many rows per byte
-    // but stay far under this ceiling
-    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 24),
+    // but the encoder's 32 B/row chunk floor keeps them far under this
+    // ceiling even at a 1 GB chunk target
+    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 26),
       s"corrupt long blob: value count $n implausible for ${blob.length}-byte blob")
     val values = new Array[Long](n)
     val nulls = new Array[Boolean](n)

@@ -45,6 +45,41 @@ final class ParquetTableIO(root: String) extends TableIO {
   private def dataDir(table: String) = s"$root/$table/data"
   private def manifestDir(table: String) = s"$root/$table/manifest"
   private def tombDir(table: String) = s"$root/$table/tombstones"
+  private def commitsDir(table: String) = s"$root/$table/commits"
+
+  // ------------------------------------------------------ batch commits
+  // A batch becomes visible only when its commit marker exists; the append
+  // order is data → manifest rows → marker. A crash at any point leaves an
+  // UNCOMMITTED batch that every read path ignores, so the ingest-dedup
+  // set never contains a torn batch's chunks and a replay re-lands them
+  // under a fresh batch id — no duplicates, no chunks stranded without
+  // manifest rows (the poor-man's Iceberg snapshot commit, SURVEY.md §7.0;
+  // orphaned uncommitted directories are inert garbage for a GC to sweep).
+
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitBatch(spark: SparkSession, table: String, batch: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(commitsDir(table))
+    val f = fs(spark, commitsDir(table))
+    f.mkdirs(dir)
+    f.create(new org.apache.hadoop.fs.Path(dir, batch), true).close()
+  }
+
+  private def committedBatches(spark: SparkSession, table: String): Array[String] = {
+    val dir = new org.apache.hadoop.fs.Path(commitsDir(table))
+    val f = fs(spark, commitsDir(table))
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")) // checksum/hidden sidecars
+  }
+
+  /** Semi-join `df` (carrying a `batch` column) down to committed batches. */
+  private def committedOnly(df: DataFrame, spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val batches = committedBatches(spark, table)
+    df.join(broadcast(batches.toSeq.toDF("batch")), Seq("batch"), "left_semi")
+  }
 
   private def hasTombstones(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tombDir(table))
@@ -69,6 +104,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     * APPENDED — manifest maintenance is O(batch), never O(table). The r2
     * shape re-scanned the whole data directory per append, which at ~6M
     * chunks would be a full metadata rescan on every streaming micro-batch.
+    * The batch is invisible until its commit marker lands (see above).
     */
   override def writeChunks(results: Dataset[ChunkResult], table: String): Unit = {
     val spark = results.sparkSession
@@ -80,14 +116,15 @@ final class ParquetTableIO(root: String) extends TableIO {
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
         col("min_key"), col("max_key"))
       .write.mode(SaveMode.Append).parquet(manifestDir(table))
+    commitBatch(spark, table, batch)
   }
 
-  /** Full manifest rebuild from the data files — an explicit repair tool
-    * (Iceberg's `repair`/`rewrite_manifests` analogue), NOT part of the
-    * append path.
+  /** Full manifest rebuild from the (committed) data files — an explicit
+    * repair tool (Iceberg's `repair`/`rewrite_manifests` analogue), NOT
+    * part of the append path.
     */
   def repairManifest(spark: SparkSession, table: String): Unit =
-    spark.read.parquet(dataDir(table))
+    committedOnly(spark.read.parquet(dataDir(table)), spark, table)
       .select(input_file_name().as("file"), col("column"), col("chunk_id"),
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
         col("min_key"), col("max_key"))
@@ -95,12 +132,20 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   override def readChunks(spark: SparkSession, table: String): Dataset[ChunkResult] = {
     import spark.implicits._
-    notTombstoned(spark.read.parquet(dataDir(table)).drop("batch"), spark, table)
+    notTombstoned(
+      committedOnly(spark.read.parquet(dataDir(table)), spark, table).drop("batch"),
+      spark, table)
       .as[ChunkResult]
   }
 
-  override def manifest(spark: SparkSession, table: String): DataFrame =
-    notTombstoned(spark.read.parquet(manifestDir(table)), spark, table)
+  override def manifest(spark: SparkSession, table: String): DataFrame = {
+    // manifest rows name their data file; derive the batch for the
+    // committed-batch filter (uncommitted rows exist only after a crash
+    // between manifest append and commit marker)
+    val m = spark.read.parquet(manifestDir(table))
+      .withColumn("batch", regexp_extract(col("file"), "batch=([^/]+)/", 1))
+    notTombstoned(committedOnly(m, spark, table).drop("batch"), spark, table)
+  }
 
   /** Point-read path: the manifest (tiny, driver-collectable hit list)
     * selects both the FILES to open and the CHUNK IDS to keep, so the scan
@@ -134,10 +179,8 @@ final class ParquetTableIO(root: String) extends TableIO {
     chunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"))
       .write.mode(SaveMode.Append).parquet(tombDir(table))
 
-  override def tableExists(spark: SparkSession, table: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dataDir(table))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  override def tableExists(spark: SparkSession, table: String): Boolean =
+    committedBatches(spark, table).nonEmpty
 
   override def deletedChunks(spark: SparkSession, table: String): DataFrame =
     tombstones(spark, table)

@@ -15,15 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Checkpoint {
 
-  /** Chunk-id format generation. v2 = full-key FNV chunk ids
-    * ([[EncodePipeline.localChunkId]] folds EVERY key); v1 (round-1) ids
-    * hashed only first/last key + count. Resuming a v1 checkpoint with v2
-    * ids would find no matching ids, re-encode everything, and APPEND —
-    * leaving the table with every row under two id generations (decode
-    * then emits duplicates). The version marker makes that a hard error
-    * instead of silent duplication.
+  /** Chunk-id format generation. v3 = local chunk boundaries charge a
+    * 32 B/row floor ([[EncodePipeline.RowFloorBytes]]) and key order is
+    * UTF-8 binary; v2 = full-key FNV chunk ids ([[EncodePipeline.localChunkId]]
+    * folds EVERY key); v1 (round-1) ids hashed only first/last key + count.
+    * Any of these changes moves chunk boundaries or content order, so
+    * resuming an older checkpoint would find no matching ids, re-encode
+    * everything, and APPEND — leaving the table with every row under two
+    * id generations (decode then emits duplicates). The version marker
+    * makes that a hard error instead of silent duplication.
     */
-  final val FormatVersion = 2
+  final val FormatVersion = 3
   private val MarkerName = "_fsst_format_version"
 
   def write(results: Dataset[ChunkResult], path: String): Unit = {
@@ -196,16 +198,16 @@ object Checkpoint {
     import spark.implicits._
     checkVersion(spark, path)
     val names = specs.map(_.name)
-    val doneIds: Array[Long] =
-      if (!exists(spark, path)) Array.emptyLongArray
+    // ONE checkpoint scan: the (chunk, column) pairs collect to the driver
+    // (two words per row) and both the fully-done id set and the
+    // partial-row anti-join side derive from that snapshot locally
+    val pairs: Array[(Long, String)] =
+      if (!exists(spark, path)) Array.empty
       else completed(spark, path).filter(col("column").isin(names: _*))
-        .groupBy("chunk_id").count()
-        .filter(col("count") === specs.size.toLong)
-        .select("chunk_id").collect().map(_.getLong(0))
-    val donePairs =
-      if (!exists(spark, path)) Seq.empty[(Long, String)].toDF("c", "n")
-      else completed(spark, path).filter(col("column").isin(names: _*))
-        .withColumnRenamed("chunk_id", "c").withColumnRenamed("column", "n")
+        .as[(Long, String)].collect()
+    val doneIds = pairs.groupBy(_._1)
+      .collect { case (id, ps) if ps.length == specs.size => id }.toArray
+    val donePairs = pairs.toSeq.toDF("c", "n")
     val enc = EncodePipeline.encodeColumnsLocal(df, key, specs, targetChunkBytes, doneIds)
       .join(broadcast(donePairs), col("chunk_id") === col("c") && col("column") === col("n"), "left_anti")
       .as[ChunkResult]

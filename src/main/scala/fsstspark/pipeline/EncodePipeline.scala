@@ -54,6 +54,17 @@ object EncodePipeline {
   def chunkIdByHash(key: Column, nChunks: Int): Column =
     pmod(xxhash64(key), lit(nChunks.toLong))
 
+  /** Per-row floor charged by the local chunk cutters alongside value
+    * bytes. Every row costs key bytes, a key-blob entry, and buffered-row
+    * overhead regardless of value size, so chunks of tiny/null/empty
+    * values must still close at a bounded ROW count: without the floor an
+    * all-null partition became ONE chunk of unbounded rows (unbounded task
+    * memory for the keys, and a row count the decoders' corrupt-count
+    * ceiling would reject as implausible). 32 B/row bounds a 16 MB chunk
+    * at 512K rows; value-dominated chunks are unaffected (<6% size drift).
+    */
+  final val RowFloorBytes = 32L
+
   /** Encode a string/binary column given as keyed values. `chunkId` must be
     * a deterministic pure function of `key` (e.g. [[chunkIdByHash]], or
     * `pmod(col("key").cast("long"), n)` when keys are numeric and the
@@ -96,7 +107,7 @@ object EncodePipeline {
     var i = 0
     while (i < idx.length) { idx(i) = i; i += 1 }
     java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
-      val c = keys(a).compareTo(keys(b))
+      val c = fsstspark.util.Keys.compareUtf8(keys(a), keys(b))
       if (c != 0) c else compareBytes(values(a), values(b))
     })
     permute(idx, keys, values)
@@ -107,7 +118,7 @@ object EncodePipeline {
     var i = 0
     while (i < idx.length) { idx(i) = i; i += 1 }
     java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
-      val c = keys(a).compareTo(keys(b))
+      val c = fsstspark.util.Keys.compareUtf8(keys(a), keys(b))
       if (c != 0) c else java.lang.Long.compare(values(a), values(b))
     })
     val k2 = keys.clone()
@@ -192,8 +203,8 @@ object EncodePipeline {
     var mx = keys(0)
     var i = 1
     while (i < keys.length) {
-      if (keys(i) < mn) mn = keys(i)
-      if (keys(i) > mx) mx = keys(i)
+      if (fsstspark.util.Keys.lessUtf8(keys(i), mn)) mn = keys(i)
+      if (fsstspark.util.Keys.lessUtf8(mx, keys(i))) mx = keys(i)
       i += 1
     }
     mkBytesResult(cid, column, keys.length, mn, mx, keyBlob, values)
@@ -232,7 +243,7 @@ object EncodePipeline {
           val kv = in.next()
           keys += kv.key
           values += kv.value
-          bytes += (if (kv.value == null) 0 else kv.value.length)
+          bytes += RowFloorBytes + (if (kv.value == null) 0 else kv.value.length)
         }
         (keys.toArray, values.toArray)
       }
@@ -310,7 +321,7 @@ object EncodePipeline {
       .mapPartitions { rows =>
         groupRowsByChunk(rows).flatMap { case (cid, chunk) =>
           java.util.Arrays.sort(chunk, (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
-            a.getString(1).compareTo(b.getString(1)))
+            fsstspark.util.Keys.compareUtf8(a.getString(1), b.getString(1)))
           val n = chunk.length
           val keys = new Array[String](n)
           var i = 0
@@ -396,8 +407,8 @@ object EncodePipeline {
           var mx = keys(0)
           i = 1
           while (i < n) {
-            if (keys(i) < mn) mn = keys(i)
-            if (keys(i) > mx) mx = keys(i)
+            if (fsstspark.util.Keys.lessUtf8(keys(i), mn)) mn = keys(i)
+            if (fsstspark.util.Keys.lessUtf8(mx, keys(i))) mx = keys(i)
             i += 1
           }
           names.indices.iterator.map { ci =>
@@ -449,6 +460,7 @@ object EncodePipeline {
         while (in.hasNext && bytes < targetChunkBytes) {
           val r = in.next()
           rows += r
+          bytes += RowFloorBytes
           var ci = 0
           while (ci < nCols) {
             val fi = 1 + ci

@@ -530,7 +530,11 @@ object Queries {
     // timestamp decode, and the metrics rollup); AQE reuses the shuffle
     // EXCHANGE but the mapPartitions encode above it would re-run once per
     // branch — persist so the flagship encodes exactly once. (MEMORY_AND_DISK
-    // default: encoded chunks are ~⅓ input size and spillable.)
+    // default: encoded chunks are ~⅓ input size and spillable.) The cache
+    // intentionally lives as long as the returned lazy DataFrame (the
+    // driver materializes each query once per session); a long-lived
+    // service reusing this query should `.unpersist()` after consuming, or
+    // route through a checkpoint-table write-then-read instead.
     val enc = EncodePipeline.encodeColumns(pages, col("url"), chunk, specs).persist()
     // per-column mismatch counts, all as one lazy distributed dataflow
     val byteMismatch = byteCols.map { case (n, v) =>
@@ -572,6 +576,8 @@ object Queries {
       "html" -> col("html"))
     val specs = byteCols.map { case (n, v) => EncodePipeline.ColSpec(n, v) } :+
       EncodePipeline.ColSpec("warc_ts", unix_micros(col("warc_ts")), isLong = true)
+    // persist: five consumers, one encode execution (see pagesPipeline's
+    // note on the cache's lifecycle)
     val enc = EncodePipeline.encodeColumnsLocal(pages, col("url"), specs, 256L << 10).persist()
     val byteMismatch = byteCols.map { case (n, v) =>
       val orig = pages.select(col("url").as("key"), v.as("value")).as[KV]

@@ -87,10 +87,13 @@ object StreamingEncode {
       .foreachBatch { (batch: Dataset[KV], batchId: Long) =>
         // "already ingested" = live chunks PLUS tombstoned ones: a chunk
         // compacted away was ingested once, and a from-scratch replay must
-        // not revive its pre-compaction id as new data
+        // not revive its pre-compaction id as new data. The set comes from
+        // the MANIFEST (small metadata table, committed batches only) —
+        // never from the data files, whose per-batch scan cost would grow
+        // with table size on every micro-batch.
         val done: Array[Long] =
           if (!io.tableExists(spark, table)) Array.emptyLongArray
-          else io.readChunks(spark, table).select("chunk_id", "column").toDF("chunk_id", "column")
+          else io.manifest(spark, table).select("chunk_id", "column")
             .unionByName(io.deletedChunks(spark, table))
             .filter(col("column") === column)
             .select("chunk_id").distinct().as[Long].collect()

@@ -41,6 +41,38 @@ object Bytes {
   }
 }
 
+/** Key-string comparison in Unicode CODE-POINT order — identical to UTF-8
+  * byte order and to Spark's `UTF8String.binaryCompare`, which evaluates
+  * the manifest's `min_key <= k <= max_key` pruning filter. Java
+  * `String.compareTo` orders by raw UTF-16 unit, ranking BMP U+E000..FFFF
+  * ABOVE supplementary-plane characters; min/max keys computed that way
+  * would disagree with the filter and silently unprune (or worse, miss)
+  * chunks. Adjustment at the first differing unit follows the standard
+  * UTF-16→UTF-8-order trick: within [0xD800,0xFFFF], surrogates shift up,
+  * non-surrogates shift down.
+  */
+object Keys {
+  def compareUtf8(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca >= 0xd800 && cb >= 0xd800) {
+          val xa = if (ca >= 0xe000) ca - 0x800 else ca + 0x2000
+          val xb = if (cb >= 0xe000) cb - 0x800 else cb + 0x2000
+          return xa - xb
+        }
+        return ca - cb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+  @inline def lessUtf8(a: String, b: String): Boolean = compareUtf8(a, b) < 0
+}
+
 /** Growable byte buffer with varint support (avoids java.io streams in hot paths). */
 final class ByteArrayBuilder(initialCapacity: Int = 64) {
   private var buf = new Array[Byte](math.max(initialCapacity, 16))
@@ -95,6 +127,11 @@ final class ByteReader(val buf: Array[Byte], var pos: Int = 0) {
   def readVarInt(): Int = readVarLong().toInt
   def readZigZagLong(): Long = { val v = readVarLong(); (v >>> 1) ^ -(v & 1) }
   def readBytes(n: Int): Array[Byte] = {
+    // copyOfRange would silently ZERO-PAD past the end of `buf` — a
+    // truncated blob must fail here, not fabricate zero bytes (and a
+    // corrupt length must fail before allocating `n`)
+    require(n >= 0 && pos + n <= buf.length && pos + n >= pos,
+      s"corrupt blob: $n bytes requested at $pos of ${buf.length}")
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
   }
   def remaining: Int = buf.length - pos

@@ -202,6 +202,23 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Keys.compareUtf8 matches Spark's UTF8String binary order (incl. supplementary planes)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import fsstspark.util.Keys
+    // the case Java compareTo gets wrong: U+FFFF must sort BELOW U+10000
+    assert(Keys.compareUtf8("￿", "𐀀") < 0)
+    assert("￿".compareTo("𐀀") > 0) // documents the Java discrepancy
+    val rnd = new scala.util.Random(77)
+    val pool = Seq("a", "z", "é", "ࠀ", "𐀀", "􏿿", "￿", "", "", "ab")
+    for (_ <- 0 until 2000) {
+      val a = Seq.fill(rnd.nextInt(4))(pool(rnd.nextInt(pool.length))).mkString
+      val b = Seq.fill(rnd.nextInt(4))(pool(rnd.nextInt(pool.length))).mkString
+      val expected = Integer.signum(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      assert(Integer.signum(Keys.compareUtf8(a, b)) == expected,
+        s"order mismatch for ${a.map(_.toInt.toHexString)} vs ${b.map(_.toInt.toHexString)}")
+    }
+  }
+
   test("codec determinism: same values → identical blob") {
     val b1 = BytesCodec.encodeAuto(textValues)
     val b2 = BytesCodec.encodeAuto(textValues)
@@ -264,6 +281,18 @@ class CodecSpec extends AnyFunSuite {
       for (cut <- Seq(1, 2, blob.length / 2))
         decodeMustBeClean(b => { LongCodec.decode(b); () }, java.util.Arrays.copyOf(blob, cut))
     }
+  }
+
+  test("truncated blobs throw instead of fabricating zero-padded values") {
+    // Arrays.copyOfRange silently zero-pads past the source end; the
+    // ByteReader guard must turn a truncated value read into an exception
+    val blob = BytesCodec.encodeRaw(textValues)
+    val cut = java.util.Arrays.copyOf(blob, blob.length - 7) // truncate mid-value
+    val e = intercept[IllegalArgumentException] { BytesCodec.decode(cut) }
+    assert(e.getMessage.contains("corrupt"))
+    // a dict blob truncated inside the dictionary entries also throws
+    val dict = BytesCodec.encodeDict(textValues)
+    intercept[IllegalArgumentException] { BytesCodec.decode(java.util.Arrays.copyOf(dict, 20)) }
   }
 
   test("stats long-value escape: mostly-unique large values stop distinct hashing, low-card keeps dict") {

@@ -290,6 +290,51 @@ class PipelineSpec extends AnyFunSuite {
     man.unpersist()
   }
 
+  test("all-null/tiny-value chunks close at the per-row floor, round-trip, and stay decodable") {
+    import spark.implicits._
+    // values contribute 0 bytes — without the 32 B/row floor one partition
+    // would become a single unbounded-row chunk (and huge-count blobs)
+    val kv = (0 until 2000).map(i => KV(f"k$i%05d", null)).toDS().repartition(2)
+    val enc = EncodePipeline.encodeBytesLocal(kv, "c", 4L << 10) // 4 KB → ≤128 rows/chunk
+    val rows = enc.select("n_rows").as[Long].collect()
+    assert(rows.forall(_ <= (4L << 10) / EncodePipeline.RowFloorBytes + 1),
+      s"row floor not enforced: max ${rows.max} rows/chunk")
+    assert(rows.length >= 14, s"expected many floor-bounded chunks, got ${rows.length}")
+    val dec = EncodePipeline.decodeBytes(enc)
+    assert(dec.count() == 2000)
+    assert(dec.filter(col("value").isNotNull).count() == 0, "nulls must round-trip as nulls")
+    assert(dec.select("key").distinct().count() == 2000, "keys must survive")
+  }
+
+  test("torn (uncommitted) catalog batches are invisible to every read path") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("torn").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = Queries.docsKV(spark, sf)
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "text", 32L << 10), "docs")
+    val committed = io.readChunks(spark, "docs").count()
+    assert(committed > 0)
+    // simulate a crash between the data/manifest append and the commit
+    // marker: write a second batch, then delete its marker
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "other", 32L << 10), "docs")
+    val commitsDir = new java.io.File(s"$root/docs/commits")
+    val markers = commitsDir.listFiles()
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    assert(markers.length == 2)
+    assert(markers.last.delete())
+    // the torn batch is invisible to data reads, the manifest, and exists
+    assert(io.readChunks(spark, "docs").count() == committed)
+    assert(io.readChunks(spark, "docs").filter(col("column") === "other").count() == 0)
+    assert(io.manifest(spark, "docs").filter(col("column") === "other").count() == 0)
+    // re-landing the same content commits cleanly (fresh batch id)
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "other", 32L << 10), "docs")
+    assert(io.readChunks(spark, "docs").filter(col("column") === "other").count() > 0)
+    assert(EncodePipeline.verify(kv,
+      EncodePipeline.decodeBytes(io.readChunks(spark, "docs").filter(col("column") === "text")))
+      .filter(!col("matched")).count() == 0)
+  }
+
   test("compaction merges under-sized chunks, tombstones originals, tightens key ranges") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact").toString
