@@ -163,11 +163,10 @@ object BytesCodec {
     val codec = r.readByte()
     val n = r.readVarInt()
     // corrupt-count guard: every codec spends ≥1 blob byte per value except
-    // degenerate all-null/constant runs — and those are bounded by the
-    // encoder's 32 B/row chunk floor (EncodePipeline.RowFloorBytes), which
-    // keeps any legitimate chunk far below this ceiling even at a 1 GB
-    // chunk target. A flipped count byte must fail here, not allocate
-    // gigabytes.
+    // degenerate all-null/constant runs — and EVERY encode path enforces
+    // n ≤ EncodePipeline.MaxChunkRows (= this ceiling) at write time, so no
+    // legitimately written blob can land here. A flipped count byte must
+    // fail now, not allocate gigabytes.
     require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 26),
       s"corrupt bytes blob: value count $n implausible for ${blob.length}-byte blob")
     val out = new Array[Array[Byte]](n)
@@ -224,6 +223,9 @@ object BytesCodec {
         i = 0
         while (i < n) {
           val id = ids(i).toInt
+          // id == nDict is the null sentinel; anything beyond is corruption
+          // and must fail loudly, not fabricate nulls
+          require(id >= 0 && id <= nDict, s"corrupt dict blob: index $id of $nDict at row $i")
           if (id < nDict) out(i) = dict(id)
           i += 1
         }

@@ -255,8 +255,8 @@ object LongCodec {
     // corrupt-count guard (see BytesCodec.decode): bound the allocation
     // before trusting a self-declared count from a potentially bit-flipped
     // blob; constant/all-null columns legitimately pack many rows per byte
-    // but the encoder's 32 B/row chunk floor keeps them far under this
-    // ceiling even at a 1 GB chunk target
+    // but every encode path enforces n ≤ EncodePipeline.MaxChunkRows
+    // (= this ceiling) at write time
     require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 26),
       s"corrupt long blob: value count $n implausible for ${blob.length}-byte blob")
     val values = new Array[Long](n)
@@ -341,7 +341,12 @@ object LongCodec {
         val width = r.readByte()
         BitPacker.unpack(blob, r.pos, nn, width, packed)
         i = 0
-        while (i < nn) { packed(i) = dict(packed(i).toInt); i += 1 }
+        while (i < nn) {
+          val id = packed(i).toInt
+          require(id >= 0 && id < nDict, s"corrupt dict_long blob: index $id of $nDict at row $i")
+          packed(i) = dict(id)
+          i += 1
+        }
       case other => throw new IllegalArgumentException(s"unknown long codec id $other")
     }
     // scatter back over nulls

@@ -81,6 +81,49 @@ final class ParquetTableIO(root: String) extends TableIO {
     df.join(broadcast(batches.toSeq.toDF("batch")), Seq("batch"), "left_semi")
   }
 
+  /** A catalog written BEFORE batch-commit markers (data present, no
+    * commits dir) must fail loudly: reading it as empty would silently
+    * hide every chunk while ingest replays re-land all of them as
+    * duplicates. Mirrors [[fsstspark.pipeline.Checkpoint.FormatVersion]]'s
+    * hard-error contract; migrate with [[commitAllBatches]].
+    */
+  private def assertNotLegacy(spark: SparkSession, table: String): Unit = {
+    val dataP = new org.apache.hadoop.fs.Path(dataDir(table))
+    val f = fs(spark, dataDir(table))
+    if (f.exists(dataP) && !f.exists(new org.apache.hadoop.fs.Path(commitsDir(table))))
+      throw new IllegalStateException(
+        s"catalog table '$table' predates batch-commit markers (data exists, no commits/); " +
+          "reading it would hide all data — run commitAllBatches to migrate a catalog " +
+          "known to be fully committed, or rebuild it")
+  }
+
+  /** Migration for pre-marker catalogs: mark every existing `batch=`
+    * directory committed. Only for catalogs known fully committed under
+    * the old format (the old format had no torn-batch detection to
+    * consult). Returns the number of markers created.
+    */
+  def commitAllBatches(spark: SparkSession, table: String): Long = {
+    val dataP = new org.apache.hadoop.fs.Path(dataDir(table))
+    val f = fs(spark, dataDir(table))
+    if (!f.exists(dataP)) return 0L
+    val batches = f.listStatus(dataP).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch="))
+    val already = committedBatches(spark, table).toSet
+    val missing = batches.filterNot(already)
+    missing.foreach(b => commitBatch(spark, table, b))
+    missing.length.toLong
+  }
+
+  /** Explicit read schema (ChunkResult fields + the batch partition
+    * column): lets a fully-vacuumed table — a data dir with zero parquet
+    * files — read back as an EMPTY dataset instead of failing schema
+    * inference.
+    */
+  private def chunkReadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[ChunkResult].schema
+      .add("batch", org.apache.spark.sql.types.StringType)
+
   private def hasTombstones(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tombDir(table))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -108,6 +151,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     */
   override def writeChunks(results: Dataset[ChunkResult], table: String): Unit = {
     val spark = results.sparkSession
+    assertNotLegacy(spark, table)
     val batch = f"b${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
     results.withColumn("batch", lit(batch))
       .write.partitionBy("batch", "column").mode(SaveMode.Append).parquet(dataDir(table))
@@ -132,13 +176,16 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   override def readChunks(spark: SparkSession, table: String): Dataset[ChunkResult] = {
     import spark.implicits._
+    assertNotLegacy(spark, table)
     notTombstoned(
-      committedOnly(spark.read.parquet(dataDir(table)), spark, table).drop("batch"),
+      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, table)
+        .drop("batch"),
       spark, table)
       .as[ChunkResult]
   }
 
   override def manifest(spark: SparkSession, table: String): DataFrame = {
+    assertNotLegacy(spark, table)
     // manifest rows name their data file; derive the batch for the
     // committed-batch filter (uncommitted rows exist only after a crash
     // between manifest append and commit marker)
@@ -196,25 +243,35 @@ final class ParquetTableIO(root: String) extends TableIO {
     * ([[deletedChunks]]). Returns the number of files deleted.
     */
   def vacuum(spark: SparkSession, table: String): Long = {
+    assertNotLegacy(spark, table)
     if (!hasTombstones(spark, table)) return 0L
     // raw manifest (tombstones NOT filtered) → per-file live counts
     val raw = spark.read.parquet(manifestDir(table))
-    val tomb = tombstones(spark, table).distinct()
-    val dead = raw
-      .join(broadcast(tomb.withColumn("__dead", lit(1))), Seq("chunk_id", "column"), "left")
+    val perFile = raw
+      .join(broadcast(tombstones(spark, table).distinct().withColumn("__dead", lit(1))),
+        Seq("chunk_id", "column"), "left")
       .groupBy("file")
       .agg(count(lit(1)).as("n"), sum(coalesce(col("__dead"), lit(0))).as("nDead"))
-      .filter(col("n") === col("nDead"))
-      .select("file").distinct()
-      .collect().map(_.getString(0))
+      .select(col("file"), (col("n") === col("nDead")).as("allDead"))
+      .collect()
+    val dead = perFile.filter(_.getBoolean(1)).map(_.getString(0))
     if (dead.isEmpty) return 0L
+    val anyLive = perFile.exists(!_.getBoolean(1))
+    // a FULLY-dead table must get its (empty) manifest BEFORE the files
+    // go: repairManifest cannot scan a data dir with zero parquet files,
+    // and a crash mid-delete would otherwise leave a manifest naming
+    // deleted files (the explicit read schema keeps readChunks working on
+    // the emptied table)
+    if (!anyLive)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw.schema)
+        .write.mode(SaveMode.Overwrite).parquet(manifestDir(table))
     val conf = spark.sparkContext.hadoopConfiguration
     var deleted = 0L
     dead.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       if (p.getFileSystem(conf).delete(p, false)) deleted += 1
     }
-    repairManifest(spark, table)
+    if (anyLive) repairManifest(spark, table)
     deleted
   }
 }

@@ -198,24 +198,30 @@ object Checkpoint {
     import spark.implicits._
     checkVersion(spark, path)
     val names = specs.map(_.name)
-    // ONE checkpoint scan: the (chunk, column) pairs collect to the driver
-    // (two words per row) and both the fully-done id set and the
-    // partial-row anti-join side derive from that snapshot locally
-    val pairs: Array[(Long, String)] =
-      if (!exists(spark, path)) Array.empty
+    // ONE checkpoint scan feeds both consumers: the filtered (chunk,
+    // column) pairs persist as a distributed frame; only the fully-done
+    // ID ARRAY (primitive longs, the thing encodeColumnsLocal broadcasts
+    // anyway) collects to the driver — the pair frame itself stays
+    // cluster-side for the anti-join, never a driver LocalRelation (at
+    // ~6M chunks × N columns that would be GBs of driver heap and plan).
+    val donePairs =
+      if (!exists(spark, path)) Seq.empty[(Long, String)].toDF("c", "n")
       else completed(spark, path).filter(col("column").isin(names: _*))
-        .as[(Long, String)].collect()
-    val doneIds = pairs.groupBy(_._1)
-      .collect { case (id, ps) if ps.length == specs.size => id }.toArray
-    val donePairs = pairs.toSeq.toDF("c", "n")
-    val enc = EncodePipeline.encodeColumnsLocal(df, key, specs, targetChunkBytes, doneIds)
-      .join(broadcast(donePairs), col("chunk_id") === col("c") && col("column") === col("n"), "left_anti")
-      .as[ChunkResult]
-    enc.persist()
-    val n = enc.count()
-    if (n > 0) write(enc, path)
-    enc.unpersist()
-    n
+        .withColumnRenamed("chunk_id", "c").withColumnRenamed("column", "n")
+    donePairs.persist()
+    try {
+      val doneIds: Array[Long] = donePairs.groupBy("c").count()
+        .filter(col("count") === specs.size.toLong)
+        .select("c").as[Long].collect()
+      val enc = EncodePipeline.encodeColumnsLocal(df, key, specs, targetChunkBytes, doneIds)
+        .join(broadcast(donePairs), col("chunk_id") === col("c") && col("column") === col("n"), "left_anti")
+        .as[ChunkResult]
+      enc.persist()
+      val n = enc.count()
+      if (n > 0) write(enc, path)
+      enc.unpersist()
+      n
+    } finally donePairs.unpersist()
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

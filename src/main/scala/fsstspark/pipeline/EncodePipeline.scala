@@ -65,6 +65,21 @@ object EncodePipeline {
     */
   final val RowFloorBytes = 32L
 
+  /** Hard per-chunk row ceiling, enforced at ENCODE time on every path —
+    * matching the decoders' corrupt-count guard, so no legitimately
+    * written blob can ever be rejected as implausible at read time. The
+    * local cutters stay under it via [[RowFloorBytes]] (up to a 2 GB
+    * target); the hash-partitioned paths depend on caller-sized `nChunks`,
+    * so an undersized `nChunks` over a huge all-null/constant column fails
+    * HERE with an actionable message instead of writing a chunk that (a)
+    * already buffered 67M+ rows in one task and (b) could never decode.
+    */
+  final val MaxChunkRows: Int = 1 << 26
+
+  @inline private def checkChunkRows(n: Int, cid: Long): Unit =
+    require(n <= MaxChunkRows,
+      s"chunk $cid holds $n rows > $MaxChunkRows — raise nChunks (hash mode) or lower targetChunkBytes")
+
   /** Encode a string/binary column given as keyed values. `chunkId` must be
     * a deterministic pure function of `key` (e.g. [[chunkIdByHash]], or
     * `pmod(col("key").cast("long"), n)` when keys are numeric and the
@@ -212,6 +227,7 @@ object EncodePipeline {
 
   private def mkBytesResult(cid: Long, column: String, n: Int, mn: String,
       mx: String, keyBlob: Array[Byte], values: Array[Array[Byte]]): ChunkResult = {
+    checkChunkRows(n, cid)
     val enc = BytesCodec.encodeAuto(values)
     ChunkResult(cid, column, BytesCodec.names(enc.codec), n,
       enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob)
@@ -220,6 +236,7 @@ object EncodePipeline {
   private def mkLongsResult(cid: Long, column: String, n: Int, mn: String,
       mx: String, keyBlob: Array[Byte], values: Array[Long],
       nulls: Array[Boolean]): ChunkResult = {
+    checkChunkRows(n, cid)
     val enc = LongCodec.encodeAuto(LongCodec.LongColumn(values, nulls))
     ChunkResult(cid, column, LongCodec.names(enc.codec), n,
       enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob)
@@ -268,6 +285,7 @@ object EncodePipeline {
           val colv = LongCodec.LongColumn(values, new Array[Boolean](values.length))
           val enc = LongCodec.encodeAuto(colv)
           val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
+          checkChunkRows(values.length, cid)
           ChunkResult(cid, column, LongCodec.names(enc.codec), values.length,
             enc.bytesIn, enc.blob.length, keys.head, keys.last, keyBlob.blob, enc.blob)
         }

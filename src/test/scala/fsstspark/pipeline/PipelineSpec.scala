@@ -335,6 +335,44 @@ class PipelineSpec extends AnyFunSuite {
       .filter(!col("matched")).count() == 0)
   }
 
+  test("legacy pre-marker catalogs fail loudly; commitAllBatches migrates them") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("legacy").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = Queries.docsKV(spark, sf)
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "text", 32L << 10), "docs")
+    val n = io.readChunks(spark, "docs").count()
+    // simulate a catalog written by the pre-marker build: remove commits/
+    val commits = new org.apache.hadoop.fs.Path(s"$root/docs/commits")
+    commits.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(commits, true)
+    val e = intercept[IllegalStateException] { io.readChunks(spark, "docs").count() }
+    assert(e.getMessage.contains("commit"))
+    intercept[IllegalStateException] { io.manifest(spark, "docs") }
+    // explicit migration restores visibility without rewriting any data
+    assert(io.commitAllBatches(spark, "docs") == 1)
+    assert(io.readChunks(spark, "docs").count() == n)
+  }
+
+  test("vacuum of a fully-tombstoned table empties it cleanly, ledger retained") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fullvac").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = Queries.docsKV(spark, sf)
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "text", 32L << 10), "docs")
+    val all = io.readChunks(spark, "docs").select("chunk_id", "column")
+    io.removeChunks(spark, "docs", all)
+    val nDeleted = io.vacuum(spark, "docs")
+    assert(nDeleted > 0)
+    // the emptied table stays readable (explicit schema) and consistent
+    assert(io.readChunks(spark, "docs").count() == 0)
+    assert(io.manifest(spark, "docs").count() == 0)
+    assert(io.deletedChunks(spark, "docs").count() > 0, "ingest ledger must survive")
+    // and it accepts new writes afterwards
+    io.writeChunks(EncodePipeline.encodeBytesLocal(
+      kv.filter(col("key") < "25"), "text", 32L << 10), "docs")
+    assert(io.readChunks(spark, "docs").count() > 0)
+  }
+
   test("compaction merges under-sized chunks, tombstones originals, tightens key ranges") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact").toString
