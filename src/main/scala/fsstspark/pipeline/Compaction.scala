@@ -52,20 +52,33 @@ object Compaction {
       .filter(col("column") === column && col("bytes_in") < minChunkBytes)
     // driver snapshot of the victim set, taken before any write mutates
     // the directory the lazy listing would re-resolve against
-    val victims = small.select(col("chunk_id"), col("bytes_in"))
-      .as[(Long, Long)].collect()
+    val victims = small.select(col("chunk_id"), col("bytes_in"), col("codec"))
+      .as[(Long, Long, String)].collect()
     if (victims.length < 2) return Result(0, 0, 0)
     val oldIds = victims.map(_._1).toSet
     val bytes = victims.map(_._2).sum
+    // long/double columns travel through the nullable-long decode and the
+    // isLong column spec (doubles are raw IEEE bits either way, so the
+    // rewrite is bit-exact); byte columns through the KV pipeline
+    val longCodecNames = fsstspark.codec.LongCodec.names.values.toSet
+    val isLongColumn = longCodecNames.contains(victims.head._3)
     // re-cluster by key so rewritten chunks are key ranges (tight manifest
     // min/max); partition count sized so each partition emits a handful of
     // target-size chunks
     val parts = math.max(1, (bytes / (4 * targetChunkBytes)).toInt)
-    val kv = EncodePipeline.decodeBytes(small)
-      .repartitionByRange(parts, col("key"))
-      .sortWithinPartitions("key")
-      .as[KV]
-    val rewritten = EncodePipeline.encodeBytesLocal(kv, column, targetChunkBytes).persist()
+    val rewritten = (if (isLongColumn) {
+      val kv = EncodePipeline.decodeLongsNullable(small).toDF("key", "value")
+        .repartitionByRange(parts, col("key"))
+        .sortWithinPartitions("key")
+      EncodePipeline.encodeColumnsLocal(kv, col("key"),
+        Seq(EncodePipeline.ColSpec(column, col("value"), isLong = true)), targetChunkBytes)
+    } else {
+      val kv = EncodePipeline.decodeBytes(small)
+        .repartitionByRange(parts, col("key"))
+        .sortWithinPartitions("key")
+        .as[KV]
+      EncodePipeline.encodeBytesLocal(kv, column, targetChunkBytes)
+    }).persist()
     try {
       val newIds = rewritten.select("chunk_id").as[Long].collect().toSet
       val overlap = newIds.intersect(oldIds) // content-identical → keep original row

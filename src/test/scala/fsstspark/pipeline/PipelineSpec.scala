@@ -335,6 +335,29 @@ class PipelineSpec extends AnyFunSuite {
       .filter(!col("matched")).count() == 0)
   }
 
+  test("compaction of a LONG column is bit-exact (nullable values through the isLong spec)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact-long").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+        when(col("doc_id") % 9 === 0, lit(null)).otherwise(col("n_chars")).as("len"))
+    val frag = EncodePipeline.encodeColumnsLocal(df, col("k"),
+      Seq(EncodePipeline.ColSpec("len", col("len"), isLong = true)), 1L << 10)
+    io.writeChunks(frag, "t")
+    val before = io.readChunks(spark, "t").count()
+    assert(before > 3, s"fixture should fragment, got $before chunks")
+    val res = fsstspark.pipeline.Compaction.compactColumn(
+      spark, io, "t", "len", minChunkBytes = 1L << 20, targetChunkBytes = 64L << 10)
+    assert(res.chunksCompacted == before)
+    val after = io.readChunks(spark, "t")
+    assert(after.count() < before)
+    // nullable longs round-trip exactly through the rewrite
+    val dec = EncodePipeline.decodeLongsNullable(after).toDF("k", "decoded")
+    val joined = df.select(col("k"), col("len")).join(dec, Seq("k"), "full_outer")
+    assert(joined.filter(!(col("len") <=> col("decoded"))).count() == 0)
+  }
+
   test("legacy pre-marker catalogs fail loudly; commitAllBatches migrates them") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("legacy").toString
