@@ -467,6 +467,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(Checkpoint.resumeBytesLocal(kv, "text", dir2, 8L << 10) == 0)
   }
 
+  test("catalog model check: random write/remove/compact/vacuum sequences stay consistent") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"model$seed").toString
+      val io = new fsstspark.io.ParquetTableIO(root)
+      // in-memory model of the live rows; keys are globally unique
+      val model = scala.collection.mutable.Map.empty[String, String]
+      var nextKey = 0
+      def writeBatch(): Unit = {
+        val rows = (0 until 30 + rnd.nextInt(40)).map { _ =>
+          val k = f"k$nextKey%06d"; nextKey += 1
+          k -> s"value for $k ${"x" * rnd.nextInt(200)}"
+        }
+        rows.foreach { case (k, v) => model(k) = v }
+        val kv = rows.map { case (k, v) => KV(k, v.getBytes("UTF-8")) }
+          .toDS().repartition(1 + rnd.nextInt(3))
+        io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "c", 1L << 10), "t")
+      }
+      def removeOneChunk(): Unit = {
+        val chunks = io.readChunks(spark, "t").select("chunk_id").as[Long].collect()
+        if (chunks.nonEmpty) {
+          val victim = chunks(rnd.nextInt(chunks.length))
+          // the model loses exactly that chunk's keys
+          EncodePipeline.decodeBytes(
+              io.readChunks(spark, "t").filter(col("chunk_id") === victim))
+            .select("key").as[String].collect().foreach(model.remove)
+          io.removeChunks(spark, "t", Seq((victim, "c")).toDF("chunk_id", "column"))
+        }
+      }
+      def checkConsistent(): Unit = {
+        val live = EncodePipeline.decodeBytes(io.readChunks(spark, "t"))
+          .collect().map(r => r.key -> new String(r.value, "UTF-8")).toMap
+        assert(live == model.toMap, s"seed=$seed: catalog != model " +
+          s"(${(live.keySet diff model.keySet).take(3)} extra, ${(model.keySet diff live.keySet).take(3)} missing)")
+        assert(io.manifest(spark, "t").count() == io.readChunks(spark, "t").count())
+        if (model.nonEmpty) {
+          val k = model.keySet.toSeq(rnd.nextInt(model.size))
+          val hit = EncodePipeline.decodeBytes(io.chunksForKey(spark, "t", k))
+            .filter(col("key") === k).as[KV].collect()
+          assert(hit.length == 1 && new String(hit(0).value, "UTF-8") == model(k),
+            s"seed=$seed: point lookup of $k wrong")
+        }
+      }
+      writeBatch()
+      for (_ <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 => writeBatch()
+          case 1 => removeOneChunk()
+          case 2 => fsstspark.pipeline.Compaction.compactColumn(
+            spark, io, "t", "c", minChunkBytes = 4L << 10, targetChunkBytes = 8L << 10)
+          case 3 => io.vacuum(spark, "t")
+        }
+        checkConsistent()
+      }
+    }
+  }
+
   test("pages generator is deterministic and partitioning-independent") {
     val a = PagesGen.pages(spark, 200, seed = 7, numPartitions = 2).collect().sortBy(_.url)
     val b = PagesGen.pages(spark, 200, seed = 7, numPartitions = 13).collect().sortBy(_.url)
