@@ -31,6 +31,13 @@ trait TableIO {
     */
   def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit
 
+  /** ATOMIC swap: append `results` and delete `removeChunkIds` so readers
+    * see either the old chunks or the new ones, never both and never
+    * neither — the Iceberg snapshot-commit semantics compaction needs.
+    */
+  def replaceChunks(spark: SparkSession, table: String,
+      results: Dataset[ChunkResult], removeChunkIds: DataFrame): Unit
+
   /** Whether the table has any committed data (readable without error). */
   def tableExists(spark: SparkSession, table: String): Boolean
 
@@ -129,13 +136,23 @@ final class ParquetTableIO(root: String) extends TableIO {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** (chunk_id, column) pairs logically deleted; empty frame when none. */
-  private def tombstones(spark: SparkSession, table: String): DataFrame =
-    if (hasTombstones(spark, table)) spark.read.parquet(tombDir(table))
+  /** EFFECTIVE (chunk_id, column) tombstones: immediate deletes
+    * (gated_by null) plus deletes gated on a batch that has committed. A
+    * gated tombstone whose batch never committed is inert — that is what
+    * makes [[replaceChunks]] an atomic swap: the deletes and the adds
+    * become visible through the SAME commit marker.
+    */
+  private def tombstones(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    if (!hasTombstones(spark, table)) Seq.empty[(Long, String)].toDF("chunk_id", "column")
     else {
-      import spark.implicits._
-      Seq.empty[(Long, String)].toDF("chunk_id", "column")
+      val t = spark.read.parquet(tombDir(table))
+      val committed = committedBatches(spark, table).toSeq.toDF("b")
+      t.filter(col("gated_by").isNull)
+        .unionByName(t.join(broadcast(committed), col("gated_by") === col("b"), "left_semi"))
+        .select("chunk_id", "column")
     }
+  }
 
   private def notTombstoned(df: DataFrame, spark: SparkSession, table: String): DataFrame =
     if (!hasTombstones(spark, table)) df
@@ -151,6 +168,13 @@ final class ParquetTableIO(root: String) extends TableIO {
     */
   override def writeChunks(results: Dataset[ChunkResult], table: String): Unit = {
     val spark = results.sparkSession
+    val batch = writeBatch(results, table)
+    commitBatch(spark, table, batch)
+  }
+
+  /** Data + manifest rows for one batch, WITHOUT the commit marker. */
+  private def writeBatch(results: Dataset[ChunkResult], table: String): String = {
+    val spark = results.sparkSession
     assertNotLegacy(spark, table)
     val batch = f"b${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
     results.withColumn("batch", lit(batch))
@@ -160,6 +184,21 @@ final class ParquetTableIO(root: String) extends TableIO {
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
         col("min_key"), col("max_key"))
       .write.mode(SaveMode.Append).parquet(manifestDir(table))
+    batch
+  }
+
+  /** Atomic swap: the new batch's data/manifest land uncommitted, the
+    * deletes land GATED on that batch, and the single commit marker flips
+    * both into visibility together. Crash before the marker → old chunks
+    * visible, new batch + its tombstones inert; crash after → new state.
+    * Never duplicates, never a gap.
+    */
+  override def replaceChunks(spark: SparkSession, table: String,
+      results: Dataset[ChunkResult], removeChunkIds: DataFrame): Unit = {
+    val batch = writeBatch(results, table)
+    removeChunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"),
+        lit(batch).as("gated_by"))
+      .write.mode(SaveMode.Append).parquet(tombDir(table))
     commitBatch(spark, table, batch)
   }
 
@@ -223,7 +262,8 @@ final class ParquetTableIO(root: String) extends TableIO {
   }
 
   override def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit =
-    chunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"))
+    chunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"),
+        lit(null).cast("string").as("gated_by")) // immediate delete
       .write.mode(SaveMode.Append).parquet(tombDir(table))
 
   override def tableExists(spark: SparkSession, table: String): Boolean =

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   * ids+column only (tens of bytes per chunk), bounded by the compaction
   * batch, never the table.
   *
-  * Atomicity: new chunks are written BEFORE the old ones are tombstoned.
-  * A crash between the two steps leaves duplicates visible until the
-  * compaction is re-run; a real Iceberg catalog commits the add+delete as
-  * one snapshot — that transactional seam belongs to the catalog this
-  * class emulates (SURVEY.md §7.0), not to the operator.
+  * Atomicity: the rewrite goes through [[TableIO.replaceChunks]] — the new
+  * chunks land uncommitted, the deletes land gated on the new batch, and
+  * one commit marker flips both into visibility together. A crash at any
+  * point leaves either the pre-compaction or the post-compaction state,
+  * never duplicates and never a gap (the snapshot-commit semantics a real
+  * Iceberg catalog provides, emulated per SURVEY.md §7.0).
   */
 object Compaction {
 
@@ -86,9 +87,10 @@ object Compaction {
         if (overlap.isEmpty) rewritten
         else rewritten.filter(!col("chunk_id").isin(overlap.toSeq: _*)).as[ChunkResult]
       val nWritten = (newIds -- overlap).size.toLong
-      if (nWritten > 0) io.writeChunks(toWrite, table)
       val removeRows = (oldIds -- overlap).toSeq.map(id => (id, column))
-      if (removeRows.nonEmpty)
+      if (nWritten > 0)
+        io.replaceChunks(spark, table, toWrite, removeRows.toDF("chunk_id", "column"))
+      else if (removeRows.nonEmpty) // pure deletion (every new chunk already existed)
         io.removeChunks(spark, table, removeRows.toDF("chunk_id", "column"))
       Result(removeRows.size.toLong, nWritten, bytes)
     } finally rewritten.unpersist()

@@ -335,6 +335,36 @@ class PipelineSpec extends AnyFunSuite {
       .filter(!col("matched")).count() == 0)
   }
 
+  test("compaction is an atomic swap: un-committing the rewrite batch restores the old state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("atomic").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = Queries.docsKV(spark, sf)
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10), "docs")
+    val idsBefore = io.readChunks(spark, "docs").select("chunk_id").as[Long].collect().sorted.toSeq
+    def markers() = new java.io.File(s"$root/docs/commits").listFiles()
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+      .map(_.getName).toSet
+    val before = markers()
+    fsstspark.pipeline.Compaction.compactColumn(
+      spark, io, "docs", "text", minChunkBytes = 1L << 20, targetChunkBytes = 64L << 10)
+    // simulate a crash at the last instant: remove the compaction batch's
+    // commit marker — its adds AND its gated deletes must both vanish
+    val newMarker = (markers() -- before).head
+    assert(new java.io.File(s"$root/docs/commits/$newMarker").delete())
+    val idsAfterCrash = io.readChunks(spark, "docs").select("chunk_id").as[Long].collect().sorted.toSeq
+    assert(idsAfterCrash == idsBefore, "un-committed swap must restore the pre-compaction chunk set")
+    assert(EncodePipeline.verify(kv, EncodePipeline.decodeBytes(io.readChunks(spark, "docs")))
+      .filter(!col("matched")).count() == 0)
+    // re-running the compaction converges (the orphaned batch stays inert)
+    val res = fsstspark.pipeline.Compaction.compactColumn(
+      spark, io, "docs", "text", minChunkBytes = 1L << 20, targetChunkBytes = 64L << 10)
+    assert(res.chunksCompacted == idsBefore.size)
+    assert(io.readChunks(spark, "docs").count() < idsBefore.size)
+    assert(EncodePipeline.verify(kv, EncodePipeline.decodeBytes(io.readChunks(spark, "docs")))
+      .filter(!col("matched")).count() == 0)
+  }
+
   test("compaction of a LONG column is bit-exact (nullable values through the isLong spec)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact-long").toString
