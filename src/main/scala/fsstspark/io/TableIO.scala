@@ -81,11 +81,16 @@ final class ParquetTableIO(root: String) extends TableIO {
       .filterNot(n => n.startsWith(".") || n.startsWith("_")) // checksum/hidden sidecars
   }
 
-  /** Semi-join `df` (carrying a `batch` column) down to committed batches. */
-  private def committedOnly(df: DataFrame, spark: SparkSession, table: String): DataFrame = {
+  /** Semi-join `df` (carrying a `batch` column) down to `committed` —
+    * callers take ONE [[committedBatches]] snapshot per read and thread it
+    * into both the batch filter and the tombstone resolver, so a
+    * concurrent [[replaceChunks]] commit landing mid-read cannot make the
+    * gated deletes effective while the same batch's adds are still
+    * excluded (the "never neither" half of the swap contract).
+    */
+  private def committedOnly(df: DataFrame, spark: SparkSession, committed: Array[String]): DataFrame = {
     import spark.implicits._
-    val batches = committedBatches(spark, table)
-    df.join(broadcast(batches.toSeq.toDF("batch")), Seq("batch"), "left_semi")
+    df.join(broadcast(committed.toSeq.toDF("batch")), Seq("batch"), "left_semi")
   }
 
   /** A catalog written BEFORE batch-commit markers (data present, no
@@ -136,27 +141,37 @@ final class ParquetTableIO(root: String) extends TableIO {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** EFFECTIVE (chunk_id, column) tombstones: immediate deletes
-    * (gated_by null) plus deletes gated on a batch that has committed. A
-    * gated tombstone whose batch never committed is inert — that is what
-    * makes [[replaceChunks]] an atomic swap: the deletes and the adds
-    * become visible through the SAME commit marker.
+  /** Tombstone read schema, always explicit: files written before the
+    * gating column existed read `gated_by` as null — i.e. as IMMEDIATE
+    * deletes, which is exactly what they were — and mixed old/new
+    * directories resolve deterministically instead of by whichever footer
+    * schema inference happens to pick.
     */
-  private def tombstones(spark: SparkSession, table: String): DataFrame = {
+  private val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("chunk_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("gated_by", org.apache.spark.sql.types.StringType)))
+
+  /** EFFECTIVE (chunk_id, column) tombstones under ONE committed-batch
+    * snapshot: immediate deletes (gated_by null) plus deletes gated on a
+    * batch in `committed`. A gated tombstone whose batch never committed
+    * is inert — that is what makes [[replaceChunks]] an atomic swap: the
+    * deletes and the adds become visible through the SAME commit marker.
+    * Single scan; the In-list compiles to an InSet above the conversion
+    * threshold.
+    */
+  private def tombstones(spark: SparkSession, table: String, committed: Array[String]): DataFrame = {
     import spark.implicits._
     if (!hasTombstones(spark, table)) Seq.empty[(Long, String)].toDF("chunk_id", "column")
-    else {
-      val t = spark.read.parquet(tombDir(table))
-      val committed = committedBatches(spark, table).toSeq.toDF("b")
-      t.filter(col("gated_by").isNull)
-        .unionByName(t.join(broadcast(committed), col("gated_by") === col("b"), "left_semi"))
-        .select("chunk_id", "column")
-    }
+    else spark.read.schema(tombSchema).parquet(tombDir(table))
+      .filter(col("gated_by").isNull || col("gated_by").isin(committed.toSeq: _*))
+      .select("chunk_id", "column")
   }
 
-  private def notTombstoned(df: DataFrame, spark: SparkSession, table: String): DataFrame =
+  private def notTombstoned(df: DataFrame, spark: SparkSession, table: String,
+      committed: Array[String]): DataFrame =
     if (!hasTombstones(spark, table)) df
-    else df.join(broadcast(tombstones(spark, table)), Seq("chunk_id", "column"), "left_anti")
+    else df.join(broadcast(tombstones(spark, table, committed)), Seq("chunk_id", "column"), "left_anti")
 
   /** Append a batch of chunks. Each batch lands under its own `batch=`
     * partition directory, so the new manifest rows are derived by scanning
@@ -207,7 +222,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     * part of the append path.
     */
   def repairManifest(spark: SparkSession, table: String): Unit =
-    committedOnly(spark.read.parquet(dataDir(table)), spark, table)
+    committedOnly(spark.read.parquet(dataDir(table)), spark, committedBatches(spark, table))
       .select(input_file_name().as("file"), col("column"), col("chunk_id"),
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
         col("min_key"), col("max_key"))
@@ -216,21 +231,23 @@ final class ParquetTableIO(root: String) extends TableIO {
   override def readChunks(spark: SparkSession, table: String): Dataset[ChunkResult] = {
     import spark.implicits._
     assertNotLegacy(spark, table)
+    val committed = committedBatches(spark, table) // ONE snapshot for batch + tombstone filters
     notTombstoned(
-      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, table)
+      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, committed)
         .drop("batch"),
-      spark, table)
+      spark, table, committed)
       .as[ChunkResult]
   }
 
   override def manifest(spark: SparkSession, table: String): DataFrame = {
     assertNotLegacy(spark, table)
+    val committed = committedBatches(spark, table) // ONE snapshot for batch + tombstone filters
     // manifest rows name their data file; derive the batch for the
     // committed-batch filter (uncommitted rows exist only after a crash
     // between manifest append and commit marker)
     val m = spark.read.parquet(manifestDir(table))
       .withColumn("batch", regexp_extract(col("file"), "batch=([^/]+)/", 1))
-    notTombstoned(committedOnly(m, spark, table).drop("batch"), spark, table)
+    notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
   }
 
   /** Point-read path: the manifest (tiny, driver-collectable hit list)
@@ -243,7 +260,15 @@ final class ParquetTableIO(root: String) extends TableIO {
     */
   override def chunksForKey(spark: SparkSession, table: String, key: String): Dataset[ChunkResult] = {
     import spark.implicits._
-    val hits = manifest(spark, table)
+    assertNotLegacy(spark, table)
+    // ONE committed snapshot spans the manifest read AND the post-scan
+    // tombstone filter — a replaceChunks commit landing mid-lookup
+    // resolves to entirely-old or entirely-new, never neither
+    val committed = committedBatches(spark, table)
+    val m = spark.read.parquet(manifestDir(table))
+      .withColumn("batch", regexp_extract(col("file"), "batch=([^/]+)/", 1))
+    val hits = notTombstoned(committedOnly(m, spark, committed).drop("batch"),
+        spark, table, committed)
       .filter(col("min_key") <= key && col("max_key") >= key)
       .select("file", "chunk_id")
       .collect()
@@ -257,7 +282,7 @@ final class ParquetTableIO(root: String) extends TableIO {
       spark.read.option("basePath", dataDir(table)).parquet(files: _*)
         .filter(col("chunk_id").isin(ids: _*))
         .drop("batch"),
-      spark, table)
+      spark, table, committed)
       .as[ChunkResult]
   }
 
@@ -270,7 +295,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     committedBatches(spark, table).nonEmpty
 
   override def deletedChunks(spark: SparkSession, table: String): DataFrame =
-    tombstones(spark, table)
+    tombstones(spark, table, committedBatches(spark, table))
 
   /** Physical reclamation, safe subset: delete data files whose EVERY
     * (chunk, column) row is tombstoned, then rebuild the manifest. No data
@@ -288,7 +313,8 @@ final class ParquetTableIO(root: String) extends TableIO {
     // raw manifest (tombstones NOT filtered) → per-file live counts
     val raw = spark.read.parquet(manifestDir(table))
     val perFile = raw
-      .join(broadcast(tombstones(spark, table).distinct().withColumn("__dead", lit(1))),
+      .join(broadcast(tombstones(spark, table, committedBatches(spark, table))
+          .distinct().withColumn("__dead", lit(1))),
         Seq("chunk_id", "column"), "left")
       .groupBy("file")
       .agg(count(lit(1)).as("n"), sum(coalesce(col("__dead"), lit(0))).as("nDead"))
