@@ -158,17 +158,69 @@ object BytesCodec {
 
   // ---------------------------------------------------------------- decode
 
+  /** Decode-side row ceiling — mirrors
+    * [[fsstspark.pipeline.EncodePipeline.MaxChunkRows]] (no cyclic dep on
+    * the pipeline package): every encode path enforces this at write time,
+    * so no legitimately written blob exceeds it.
+    */
+  final val MaxDecodedRows: Int = 1 << 26
+
   def decode(blob: Array[Byte]): Array[Array[Byte]] = {
     val r = new ByteReader(blob)
     val codec = r.readByte()
     val n = r.readVarInt()
-    // corrupt-count guard: every codec spends ≥1 blob byte per value except
-    // degenerate all-null/constant runs — and EVERY encode path enforces
-    // n ≤ EncodePipeline.MaxChunkRows (= this ceiling) at write time, so no
-    // legitimately written blob can land here. A flipped count byte must
-    // fail now, not allocate gigabytes.
-    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 26),
+    // corrupt-count guards, tightest-first: the hard write-time ceiling,
+    // then codec-aware payload arithmetic BEFORE the O(n) allocations — a
+    // flipped count byte must fail here, not allocate hundreds of MB of
+    // array headers. RAW/FSST spend ≥1 blob byte per value (the per-value
+    // length varint); RLE pre-scans its run list (each run ≥2 bytes,
+    // bounded by the blob) and requires the run lengths to sum exactly to
+    // n; DICT defers allocation until its packed-index section is
+    // arithmetically validated below. The irreducible residue: an all-null
+    // run-length blob legitimately packs millions of rows into a few
+    // bytes, so a corrupt blob that mimics that exact header shape still
+    // allocates what the legitimate chunk would have.
+    require(n >= 0 && n <= MaxDecodedRows,
       s"corrupt bytes blob: value count $n implausible for ${blob.length}-byte blob")
+    if (codec == RAW || codec == FSST) require(n <= blob.length,
+      s"corrupt bytes blob: $n values need ≥$n length bytes, blob has ${blob.length}")
+    if (codec == RLE) {
+      val scan = new ByteReader(blob, r.pos)
+      var total = 0L
+      while (total < n) {
+        val runLen = scan.readVarInt()
+        require(runLen > 0 && runLen <= n - total,
+          s"corrupt rle blob: run length $runLen at row $total/$n")
+        val l = scan.readVarInt()
+        if (l > 0) {
+          require(l - 1 <= scan.remaining, s"corrupt rle blob: value of ${l - 1} bytes past blob end")
+          scan.pos += l - 1
+        }
+        total += runLen
+      }
+    }
+    if (codec == DICT) {
+      // pre-scan the dict header so the packed-index section is
+      // arithmetically consistent with n before any O(n) allocation
+      val scan = new ByteReader(blob, r.pos)
+      val nDict = scan.readVarInt()
+      require(nDict >= 0 && nDict <= scan.remaining,
+        s"corrupt dict blob: $nDict entries exceed ${scan.remaining} remaining bytes")
+      var i = 0
+      while (i < nDict) {
+        val l = scan.readVarInt()
+        require(l >= 0 && l <= scan.remaining, s"corrupt dict blob: entry $i of $l bytes past end")
+        scan.pos += l
+        i += 1
+      }
+      val width = scan.readByte()
+      // the encoder's width is widthFor(nDict) ≥ 1 whenever the dict is
+      // non-empty; width 0 with entries present is corruption, and width 0
+      // with an empty dict is the all-null chunk (no payload to check)
+      require(width > 0 || nDict == 0, s"corrupt dict blob: zero index width with $nDict entries")
+      require(BitPacker.packedSize(n, width) <= scan.remaining,
+        s"corrupt dict blob: $n×$width-bit indices exceed ${scan.remaining} remaining bytes")
+    }
     val out = new Array[Array[Byte]](n)
     codec match {
       case RAW =>
@@ -242,6 +294,108 @@ object BytesCodec {
         }
       case other => throw new IllegalArgumentException(s"unknown bytes codec id $other")
     }
+    out
+  }
+
+  // ----------------------------------------------------- predicate pushdown
+
+  /** Rows whose value equals `target` (non-null byte equality), answered
+    * from codec STRUCTURE where the codec allows it:
+    *
+    *  - DICT — compare `target` against the (tiny) dictionary; absent →
+    *    the whole chunk is skipped without touching the packed indices;
+    *    present → one pass over the packed ids, zero value bytes
+    *    materialized;
+    *  - RLE — compare each RUN header's value once; a matching run yields
+    *    all its row indices, so bytes compared ≈ the collapsed payload;
+    *  - RAW/FSST — no structural shortcut (greedy FSST codes are not
+    *    substring-stable), full decode + filter.
+    *
+    * Returns (matching row indices ascending, value-payload bytes read) —
+    * the second component is the pushdown-efficiency metric a read path
+    * surfaces (vs `bytes_in` for a full decode).
+    */
+  def selectEquals(blob: Array[Byte], target: Array[Byte]): (Array[Int], Long) = {
+    require(target != null, "selectEquals target must be non-null")
+    val r = new ByteReader(blob)
+    val codec = r.readByte()
+    val n = r.readVarInt()
+    require(n >= 0 && n <= MaxDecodedRows,
+      s"corrupt bytes blob: value count $n implausible for ${blob.length}-byte blob")
+    codec match {
+      case DICT =>
+        val nDict = r.readVarInt()
+        require(nDict >= 0 && nDict <= r.remaining, s"corrupt dict blob: $nDict entries")
+        var tid = -1
+        var bytesRead = 0L
+        var i = 0
+        while (i < nDict) {
+          val len = r.readVarInt()
+          require(len >= 0 && r.pos + len <= blob.length, s"corrupt dict blob: entry $i")
+          bytesRead += len
+          if (len == target.length && regionEquals(blob, r.pos, target)) tid = i
+          r.pos += len
+          i += 1
+        }
+        if (tid < 0) (Array.emptyIntArray, bytesRead) // chunk skipped structurally
+        else {
+          val width = r.readByte()
+          require(width > 0 || nDict == 0, s"corrupt dict blob: zero width with $nDict entries")
+          require(BitPacker.packedSize(n, width) <= r.remaining, "corrupt dict blob: packed ids")
+          val ids = new Array[Long](n)
+          BitPacker.unpack(blob, r.pos, n, width, ids)
+          bytesRead += BitPacker.packedSize(n, width)
+          val out = new java.util.ArrayList[Integer]()
+          i = 0
+          while (i < n) { if (ids(i) == tid) out.add(i); i += 1 }
+          (toIntArray(out), bytesRead)
+        }
+      case RLE =>
+        val out = new java.util.ArrayList[Integer]()
+        var bytesRead = 0L
+        var i = 0
+        while (i < n) {
+          val runLen = r.readVarInt()
+          require(runLen > 0 && runLen <= n - i, s"corrupt rle blob: run length $runLen at row $i/$n")
+          val l = r.readVarInt()
+          if (l > 0) {
+            val len = l - 1
+            require(r.pos + len <= blob.length, s"corrupt rle blob: run value past end")
+            bytesRead += len
+            if (len == target.length && regionEquals(blob, r.pos, target)) {
+              var k = 0
+              while (k < runLen) { out.add(i + k); k += 1 }
+            }
+            r.pos += len
+          }
+          i += runLen
+        }
+        (toIntArray(out), bytesRead)
+      case _ =>
+        // RAW/FSST: no structural shortcut — decode and filter
+        val values = decode(blob)
+        var bytesRead = 0L
+        val out = new java.util.ArrayList[Integer]()
+        var i = 0
+        while (i < values.length) {
+          val v = values(i)
+          if (v != null) {
+            bytesRead += v.length
+            if (java.util.Arrays.equals(v, target)) out.add(i)
+          }
+          i += 1
+        }
+        (toIntArray(out), bytesRead)
+    }
+  }
+
+  @inline private def regionEquals(blob: Array[Byte], pos: Int, target: Array[Byte]): Boolean =
+    java.util.Arrays.equals(blob, pos, pos + target.length, target, 0, target.length)
+
+  private def toIntArray(l: java.util.ArrayList[Integer]): Array[Int] = {
+    val out = new Array[Int](l.size())
+    var i = 0
+    while (i < out.length) { out(i) = l.get(i); i += 1 }
     out
   }
 

@@ -252,16 +252,33 @@ object LongCodec {
     val r = new ByteReader(blob)
     val codec = r.readByte()
     val n = r.readVarInt()
-    // corrupt-count guard (see BytesCodec.decode): bound the allocation
-    // before trusting a self-declared count from a potentially bit-flipped
-    // blob; constant/all-null columns legitimately pack many rows per byte
-    // but every encode path enforces n ≤ EncodePipeline.MaxChunkRows
-    // (= this ceiling) at write time
-    require(n >= 0 && n.toLong <= math.max(8L * blob.length, 1L << 26),
+    // corrupt-count guards (see BytesCodec.decode): the hard write-time
+    // ceiling (every encode path enforces n ≤ EncodePipeline.MaxChunkRows),
+    // then codec-aware payload arithmetic BEFORE the O(n) allocations —
+    // RLE pre-scans its run list and requires the lengths to sum exactly
+    // to n; the bitmap-bearing codecs require the null bitmap to fit; RAW
+    // requires its fixed 8 B/value payload to fit. The irreducible
+    // residue: constant/all-null columns legitimately pack millions of
+    // rows into a few bytes (width-0 FoR/XOR), so a corrupt blob mimicking
+    // that exact header still allocates what the legitimate chunk would.
+    require(n >= 0 && n <= BytesCodec.MaxDecodedRows,
       s"corrupt long blob: value count $n implausible for ${blob.length}-byte blob")
-    val values = new Array[Long](n)
-    val nulls = new Array[Boolean](n)
     if (codec == RLE) {
+      // pre-scan: run lengths must sum exactly to n within the blob
+      val scan = new ByteReader(blob, r.pos)
+      scan.readByte() // hasNulls placeholder
+      var total = 0L
+      while (total < n) {
+        val runLen = scan.readVarInt()
+        require(runLen > 0 && runLen <= n - total,
+          s"corrupt rle blob: run length $runLen at row $total/$n")
+        if (scan.readByte() == 1) scan.readZigZagLong()
+        total += runLen
+      }
+    }
+    if (codec == RLE) {
+      val values = new Array[Long](n)
+      val nulls = new Array[Boolean](n)
       r.readByte() // hasNulls placeholder
       var i = 0
       while (i < n) {
@@ -281,18 +298,30 @@ object LongCodec {
     }
     val hasNulls = r.readByte() == 1
     var nn = n
+    var bm = -1
     if (hasNulls) {
       val bitmapLen = (n + 7) / 8
-      val bm = r.pos
+      require(r.pos + bitmapLen.toLong <= blob.length,
+        s"corrupt long blob: $bitmapLen-byte null bitmap past blob end")
+      bm = r.pos
       nn = 0
       var i = 0
       while (i < n) {
-        val present = (blob(bm + (i >> 3)) & (1 << (i & 7))) != 0
-        nulls(i) = !present
-        if (present) nn += 1
+        if ((blob(bm + (i >> 3)) & (1 << (i & 7))) != 0) nn += 1
         i += 1
       }
       r.pos += bitmapLen
+    }
+    if (codec == RAW) require(8L * nn <= r.remaining,
+      s"corrupt raw8 blob: $nn×8-byte values exceed ${r.remaining} remaining bytes")
+    val values = new Array[Long](n)
+    val nulls = new Array[Boolean](n)
+    if (hasNulls) {
+      var i = 0
+      while (i < n) {
+        nulls(i) = (blob(bm + (i >> 3)) & (1 << (i & 7))) == 0
+        i += 1
+      }
     }
     val packed = new Array[Long](nn)
     codec match {

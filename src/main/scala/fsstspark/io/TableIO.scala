@@ -46,6 +46,19 @@ trait TableIO {
     * and replaying its source must not revive it.
     */
   def deletedChunks(spark: SparkSession, table: String): DataFrame
+
+  /** Opaque ids of the currently committed ingest batches (an append-only
+    * set — a batch id never becomes uncommitted). Incremental consumers
+    * diff this against the ids they have already folded in.
+    */
+  def committedBatchIds(spark: SparkSession, table: String): Array[String]
+
+  /** Manifest rows restricted to the given batches, WITHOUT tombstone
+    * filtering (an ingest ledger wants every id that ever landed) — the
+    * O(new batches) read an incremental dedup cache performs per
+    * micro-batch instead of rescanning the whole manifest.
+    */
+  def manifestForBatches(spark: SparkSession, table: String, batches: Seq[String]): DataFrame
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
@@ -191,14 +204,23 @@ final class ParquetTableIO(root: String) extends TableIO {
   private def writeBatch(results: Dataset[ChunkResult], table: String): String = {
     val spark = results.sparkSession
     assertNotLegacy(spark, table)
+    // commits/ exists from the FIRST byte of data: a crash during the very
+    // first batch (data written, no marker yet) must read back as an empty
+    // table with an empty commit set — not as a "legacy pre-marker catalog"
+    // (assertNotLegacy's data-without-commits test), which would hard-error
+    // every read and make the torn batch unrecoverable by replay.
+    fs(spark, commitsDir(table)).mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
     val batch = f"b${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
     results.withColumn("batch", lit(batch))
       .write.partitionBy("batch", "column").mode(SaveMode.Append).parquet(dataDir(table))
+    // manifest rows land under their own batch= partition, so incremental
+    // consumers ([[manifestForBatches]]) prune to NEW batches at directory
+    // level instead of scanning the whole manifest per micro-batch
     spark.read.parquet(s"${dataDir(table)}/batch=$batch")
       .select(input_file_name().as("file"), col("column"), col("chunk_id"),
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
-        col("min_key"), col("max_key"))
-      .write.mode(SaveMode.Append).parquet(manifestDir(table))
+        col("min_key"), col("max_key"), lit(batch).as("batch"))
+      .write.partitionBy("batch").mode(SaveMode.Append).parquet(manifestDir(table))
     batch
   }
 
@@ -225,8 +247,8 @@ final class ParquetTableIO(root: String) extends TableIO {
     committedOnly(spark.read.parquet(dataDir(table)), spark, committedBatches(spark, table))
       .select(input_file_name().as("file"), col("column"), col("chunk_id"),
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
-        col("min_key"), col("max_key"))
-      .write.mode(SaveMode.Overwrite).parquet(manifestDir(table))
+        col("min_key"), col("max_key"), col("batch"))
+      .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(manifestDir(table))
 
   override def readChunks(spark: SparkSession, table: String): Dataset[ChunkResult] = {
     import spark.implicits._
@@ -242,11 +264,9 @@ final class ParquetTableIO(root: String) extends TableIO {
   override def manifest(spark: SparkSession, table: String): DataFrame = {
     assertNotLegacy(spark, table)
     val committed = committedBatches(spark, table) // ONE snapshot for batch + tombstone filters
-    // manifest rows name their data file; derive the batch for the
-    // committed-batch filter (uncommitted rows exist only after a crash
-    // between manifest append and commit marker)
+    // batch is the manifest's own partition column (uncommitted rows exist
+    // only after a crash between manifest append and commit marker)
     val m = spark.read.parquet(manifestDir(table))
-      .withColumn("batch", regexp_extract(col("file"), "batch=([^/]+)/", 1))
     notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
   }
 
@@ -266,7 +286,6 @@ final class ParquetTableIO(root: String) extends TableIO {
     // resolves to entirely-old or entirely-new, never neither
     val committed = committedBatches(spark, table)
     val m = spark.read.parquet(manifestDir(table))
-      .withColumn("batch", regexp_extract(col("file"), "batch=([^/]+)/", 1))
     val hits = notTombstoned(committedOnly(m, spark, committed).drop("batch"),
         spark, table, committed)
       .filter(col("min_key") <= key && col("max_key") >= key)
@@ -293,6 +312,17 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   override def tableExists(spark: SparkSession, table: String): Boolean =
     committedBatches(spark, table).nonEmpty
+
+  override def committedBatchIds(spark: SparkSession, table: String): Array[String] =
+    committedBatches(spark, table)
+
+  override def manifestForBatches(spark: SparkSession, table: String,
+      batches: Seq[String]): DataFrame =
+    // batch is a partition column: the isin filter prunes to the NEW
+    // batches' directories — the scan never touches old manifest files
+    spark.read.parquet(manifestDir(table))
+      .filter(col("batch").isin(batches: _*))
+      .drop("batch")
 
   override def deletedChunks(spark: SparkSession, table: String): DataFrame =
     tombstones(spark, table, committedBatches(spark, table))
@@ -337,7 +367,23 @@ final class ParquetTableIO(root: String) extends TableIO {
       val p = new org.apache.hadoop.fs.Path(f)
       if (p.getFileSystem(conf).delete(p, false)) deleted += 1
     }
-    if (anyLive) repairManifest(spark, table)
+    if (anyLive) {
+      // Incremental manifest maintenance: anti-join the manifest against
+      // the dead-file list and rewrite — O(manifest rows), never the
+      // O(table) data-dir footer rescan repairManifest pays. Rewrite lands
+      // in a sibling dir and swaps in (crash between delete and rename
+      // leaves a manifest-less table that repairManifest recovers —
+      // the same window the Overwrite-based rebuild had).
+      import spark.implicits._
+      val mDir = manifestDir(table)
+      val tmp = mDir + "_rewrite"
+      spark.read.parquet(mDir)
+        .join(broadcast(dead.toSeq.toDF("file")), Seq("file"), "left_anti")
+        .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(tmp)
+      val f = fs(spark, mDir)
+      f.delete(new org.apache.hadoop.fs.Path(mDir), true)
+      f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(mDir))
+    }
     deleted
   }
 }

@@ -37,6 +37,20 @@ object Checkpoint {
     val p = new org.apache.hadoop.fs.Path(path, MarkerName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
+      // A marker-less checkpoint that already holds data files was written
+      // by a pre-versioning build: stamping the CURRENT version onto it
+      // would let future resumes pass checkVersion over mixed-generation
+      // chunk ids — exactly the silent duplication the marker prevents.
+      // Only a fresh/empty directory may be stamped.
+      val dir = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(dir) && fs.listStatus(dir).exists { st =>
+            val n = st.getPath.getName
+            !n.startsWith(".") && !n.startsWith("_")
+          })
+        throw new IllegalStateException(
+          s"checkpoint at $path holds data but no version marker (pre-versioning format); " +
+            s"appending v$FormatVersion chunk ids would mix id generations and decode would " +
+            "duplicate rows — delete (or migrate) the checkpoint first")
       val out = fs.create(p, true)
       out.write(s"$FormatVersion\n".getBytes("UTF-8"))
       out.close()

@@ -80,10 +80,28 @@ object EncodePipeline {
     require(n <= MaxChunkRows,
       s"chunk $cid holds $n rows > $MaxChunkRows — raise nChunks (hash mode) or lower targetChunkBytes")
 
+  /** Map-side pre-grouping flush threshold: a map task emits a chunk's
+    * packed block once it reaches this size, so per-chunk builder memory is
+    * bounded and the shuffle still carries few, large blocks.
+    */
+  final val PregroupFlushBytes: Int = 4 << 20
+
   /** Encode a string/binary column given as keyed values. `chunkId` must be
     * a deterministic pure function of `key` (e.g. [[chunkIdByHash]], or
     * `pmod(col("key").cast("long"), n)` when keys are numeric and the
     * oracle needs a SQL-expressible chunking).
+    *
+    * Shuffle shape (the scale-critical part): each map task PRE-GROUPS its
+    * rows by destination chunk into packed byte blocks (varint-framed
+    * key/value pairs, flushed at [[PregroupFlushBytes]]), so the exchange
+    * moves a few large binary blocks per (map task × chunk) instead of
+    * millions of individual rows — the mapPartitions equivalent of a
+    * map-side combiner. Row-at-a-time shuffle serialization dominated this
+    * path's cost (3–5× slower than the zero-shuffle pipeline and below the
+    * ≥0.8 N→4N scaling criterion); block-at-a-time restores it. Reduce
+    * tasks concatenate a chunk's blocks, restore deterministic order with
+    * one in-task key sort, and encode — output is bit-identical to the
+    * row-at-a-time shape.
     */
   def encodeBytes(
       ds: Dataset[KV],
@@ -94,18 +112,47 @@ object EncodePipeline {
     import spark.implicits._
     // Explicit partition count: without it AQE coalesces the exchange to
     // ~64MB partitions, capping the reduce stage (sort + train + encode —
-    // the CPU-heavy part) at a handful of tasks regardless of cores.
-    val parts = ds.sparkSession.sessionState.conf.numShufflePartitions
-    // Sort on chunk_id alone (single-long radix sort) — deterministic
-    // per-chunk order is restored by a cheap in-task sort of each chunk's
-    // keys, instead of making Spark's external sorter compare string keys
-    // for every row.
-    ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
-      .as[(Long, String, Array[Byte])]
+    // the CPU-heavy part) at a handful of tasks regardless of cores. 2×
+    // the configured count: reduce tasks are chunk-grained and sit behind
+    // the map-stage barrier, so two shorter waves hide stragglers that a
+    // single wave of bigger tasks exposes as wall-clock.
+    val parts = 2 * ds.sparkSession.sessionState.conf.numShufflePartitions
+    // keys travel as BINARY (UTF8String bytes copied straight out of the
+    // scan) — materializing java.lang.String per row on the map side was
+    // measurable GC load at 15 GB; the reduce side builds each key String
+    // exactly once.
+    ds.select(chunkId.cast("long").as("chunk_id"),
+        col("key").cast("binary").as("key"), col("value"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        packBlocks[(Long, Array[Byte], Array[Byte])](it, _._1, (row, b) => {
+          val k = row._2
+          b.addVarInt(k.length)
+          b.addBytes(k)
+          val v = row._3
+          if (v == null) b.addVarInt(0) else { b.addVarInt(v.length + 1); b.addBytes(v) }
+        })
+      }
+      .toDF("chunk_id", "n", "block")
       .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id")
-      .mapPartitions { it =>
-        groupByChunk(it).map { case (cid, keys, values) =>
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { blocks =>
+        groupPacked(blocks).map { case (cid, n, bs) =>
+          checkChunkRows(n, cid)
+          val keys = new Array[String](n)
+          val values = new Array[Array[Byte]](n)
+          var i = 0
+          bs.foreach { block =>
+            val r = new fsstspark.util.ByteReader(block)
+            while (r.remaining > 0) {
+              keys(i) = readKey(r)
+              val l = r.readVarInt()
+              if (l > 0) values(i) = r.readBytes(l - 1)
+              i += 1
+            }
+          }
+          require(i == n, s"chunk $cid: packed blocks held $i rows, expected $n")
           sortByKey(keys, values)
           mkResult(cid, column, keys, values)
         }
@@ -266,7 +313,10 @@ object EncodePipeline {
       }
     }
 
-  /** Encode an integer-like column (ids, epoch micros). */
+  /** Encode an integer-like column (ids, epoch micros). Same map-side
+    * pre-grouped shuffle as [[encodeBytes]]: values pack as 8 raw LE bytes
+    * after the framed key.
+    */
   def encodeLongs(
       ds: Dataset[LongKV],
       column: String,
@@ -274,18 +324,44 @@ object EncodePipeline {
   ): Dataset[ChunkResult] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val parts = ds.sparkSession.sessionState.conf.numShufflePartitions
-    ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
-      .as[(Long, String, Long)]
+    val parts = 2 * ds.sparkSession.sessionState.conf.numShufflePartitions
+    ds.select(chunkId.cast("long").as("chunk_id"),
+        col("key").cast("binary").as("key"), col("value"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        packBlocks[(Long, Array[Byte], Long)](it, _._1, (row, b) => {
+          val k = row._2
+          b.addVarInt(k.length)
+          b.addBytes(k)
+          val p = b.reserve(8)
+          fsstspark.util.Bytes.putLongLE(b.raw, p, row._3)
+        })
+      }
+      .toDF("chunk_id", "n", "block")
       .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id")
-      .mapPartitions { it =>
-        groupLongsByChunk(it).map { case (cid, keys, values) =>
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { blocks =>
+        groupPacked(blocks).map { case (cid, n, bs) =>
+          checkChunkRows(n, cid)
+          val keys = new Array[String](n)
+          val values = new Array[Long](n)
+          var i = 0
+          bs.foreach { block =>
+            val r = new fsstspark.util.ByteReader(block)
+            while (r.remaining > 0) {
+              keys(i) = readKey(r)
+              require(r.remaining >= 8, s"chunk $cid: truncated packed long row $i")
+              values(i) = fsstspark.util.Bytes.getLongLE(r.buf, r.pos)
+              r.pos += 8
+              i += 1
+            }
+          }
+          require(i == n, s"chunk $cid: packed blocks held $i rows, expected $n")
           sortLongsByKey(keys, values)
           val colv = LongCodec.LongColumn(values, new Array[Boolean](values.length))
           val enc = LongCodec.encodeAuto(colv)
           val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
-          checkChunkRows(values.length, cid)
           ChunkResult(cid, column, LongCodec.names(enc.codec), values.length,
             enc.bytesIn, enc.blob.length, keys.head, keys.last, keyBlob.blob, enc.blob)
         }
@@ -323,8 +399,10 @@ object EncodePipeline {
   ): Dataset[ChunkResult] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sel = Seq(chunkId.cast("long").as("chunk_id"), key.cast("string").as("key")) ++
+    val parts = 2 * spark.sessionState.conf.numShufflePartitions
+    // key as BINARY through the exchange (see encodeBytes)
+    val sel = Seq(chunkId.cast("long").as("chunk_id"),
+      key.cast("string").cast("binary").as("key")) ++
       specs.zipWithIndex.map { case (sp, i) =>
         (if (sp.isLong) sp.value.cast("long")
          else if (sp.isDouble) sp.value.cast("double")
@@ -333,42 +411,105 @@ object EncodePipeline {
     val names = specs.map(_.name).toArray
     val isLong = specs.map(sp => sp.isLong || sp.isDouble).toArray
     val isDouble = specs.map(_.isDouble).toArray
+    val nCols = names.length
+    // Same map-side pre-grouped shuffle as [[encodeBytes]]: a packed row is
+    // the framed key, then per column either [flag u8][8B LE raw bits] for
+    // long/double (doubles pack as raw bits here, exactly what the chunk
+    // task stored before) or [varint(len+1)][bytes] for binary.
+    import spark.implicits._
     df.select(sel: _*)
+      .mapPartitions { rows =>
+        packBlocks[org.apache.spark.sql.Row](rows, _.getLong(0), (row, b) => {
+          val k = row.getAs[Array[Byte]](1)
+          b.addVarInt(k.length)
+          b.addBytes(k)
+          var ci = 0
+          while (ci < nCols) {
+            val fi = 2 + ci
+            if (isLong(ci)) {
+              if (row.isNullAt(fi)) b.addByte(0)
+              else {
+                b.addByte(1)
+                val p = b.reserve(8)
+                fsstspark.util.Bytes.putLongLE(b.raw, p,
+                  if (isDouble(ci)) java.lang.Double.doubleToRawLongBits(row.getDouble(fi))
+                  else row.getLong(fi))
+              }
+            } else {
+              if (row.isNullAt(fi)) b.addVarInt(0)
+              else {
+                val v = row.getAs[Array[Byte]](fi)
+                b.addVarInt(v.length + 1)
+                b.addBytes(v)
+              }
+            }
+            ci += 1
+          }
+        })
+      }
+      .toDF("chunk_id", "n", "block")
       .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id")
-      .mapPartitions { rows =>
-        groupRowsByChunk(rows).flatMap { case (cid, chunk) =>
-          java.util.Arrays.sort(chunk, (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
-            fsstspark.util.Keys.compareUtf8(a.getString(1), b.getString(1)))
-          val n = chunk.length
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { blocks =>
+        groupPacked(blocks).flatMap { case (cid, n, bs) =>
+          checkChunkRows(n, cid)
           val keys = new Array[String](n)
+          val longVals = Array.tabulate(nCols)(ci => if (isLong(ci)) new Array[Long](n) else null)
+          val longNulls = Array.tabulate(nCols)(ci => if (isLong(ci)) new Array[Boolean](n) else null)
+          val byteVals = Array.tabulate(nCols)(ci => if (isLong(ci)) null else new Array[Array[Byte]](n))
           var i = 0
-          while (i < n) { keys(i) = chunk(i).getString(1); i += 1 }
-          val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob
-          val mn = keys(0)
-          val mx = keys(n - 1)
+          bs.foreach { block =>
+            val r = new fsstspark.util.ByteReader(block)
+            while (r.remaining > 0) {
+              keys(i) = readKey(r)
+              var ci = 0
+              while (ci < nCols) {
+                if (isLong(ci)) {
+                  if (r.readByte() == 0) longNulls(ci)(i) = true
+                  else {
+                    require(r.remaining >= 8, s"chunk $cid: truncated packed row $i col $ci")
+                    longVals(ci)(i) = fsstspark.util.Bytes.getLongLE(r.buf, r.pos)
+                    r.pos += 8
+                  }
+                } else {
+                  val l = r.readVarInt()
+                  if (l > 0) byteVals(ci)(i) = r.readBytes(l - 1)
+                }
+                ci += 1
+              }
+              i += 1
+            }
+          }
+          require(i == n, s"chunk $cid: packed blocks held $i rows, expected $n")
+          // keys are unique per the contract; sort a permutation and apply
+          // it to every column (chunk content order = key order)
+          val idx = new Array[Integer](n)
+          i = 0
+          while (i < n) { idx(i) = i; i += 1 }
+          java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+            fsstspark.util.Keys.compareUtf8(keys(a), keys(b)))
+          val sKeys = new Array[String](n)
+          i = 0
+          while (i < n) { sKeys(i) = keys(idx(i)); i += 1 }
+          val keyBlob = BytesCodec.encodeAuto(sKeys.map(_.getBytes("UTF-8"))).blob
+          val mn = sKeys(0)
+          val mx = sKeys(n - 1)
           names.indices.iterator.map { ci =>
-            val fi = 2 + ci
             if (isLong(ci)) {
               val values = new Array[Long](n)
               val nulls = new Array[Boolean](n)
-              val dbl = isDouble(ci)
               var j = 0
               while (j < n) {
-                if (chunk(j).isNullAt(fi)) nulls(j) = true
-                else values(j) =
-                  if (dbl) java.lang.Double.doubleToRawLongBits(chunk(j).getDouble(fi))
-                  else chunk(j).getLong(fi)
+                values(j) = longVals(ci)(idx(j))
+                nulls(j) = longNulls(ci)(idx(j))
                 j += 1
               }
               mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls)
             } else {
               val values = new Array[Array[Byte]](n)
               var j = 0
-              while (j < n) {
-                if (!chunk(j).isNullAt(fi)) values(j) = chunk(j).getAs[Array[Byte]](fi)
-                j += 1
-              }
+              while (j < n) { values(j) = byteVals(ci)(idx(j)); j += 1 }
               mkBytesResult(cid, names(ci), n, mn, mx, keyBlob, values)
             }
           }
@@ -491,22 +632,186 @@ object EncodePipeline {
       }
     }
 
-  /** Streams rows sorted by chunk_id (field 0) into one buffered chunk at
-    * a time.
+  // --------------------------------------------- map-side pre-grouping
+  // The shuffle-chunked paths' combiner layer: rows destined for the same
+  // chunk pack into one growing byte block per (map task, chunk); a block
+  // flushes downstream once it reaches PregroupFlushBytes, so map memory is
+  // bounded by min(packed partition bytes, touched-chunks × flush size) and
+  // the exchange carries large binary blocks instead of per-row records.
+
+  private final class BlockBuf {
+    // 16 KB start: blocks at wide chunk fan-out land in the 10s-of-KB
+    // range, and doubling up from 1 KB re-copied every small block ~4×
+    val b = new fsstspark.util.ByteArrayBuilder(16 * 1024)
+    var n = 0
+  }
+
+  @inline private def readKey(r: fsstspark.util.ByteReader): String = {
+    val l = r.readVarInt()
+    require(l >= 0 && r.pos + l <= r.buf.length, s"corrupt packed block: key length $l")
+    val s = new String(r.buf, r.pos, l, java.nio.charset.StandardCharsets.UTF_8)
+    r.pos += l
+    s
+  }
+
+  /** Streaming packer: consumes `in`, appending each row (via `writeRow`)
+    * to its chunk's block; yields (chunk_id, nRows, block) as blocks fill,
+    * then drains the partial blocks at end of input.
     */
-  private def groupRowsByChunk(
-      it: Iterator[org.apache.spark.sql.Row]
-  ): Iterator[(Long, Array[org.apache.spark.sql.Row])] =
-    new Iterator[(Long, Array[org.apache.spark.sql.Row])] {
-      private val in = it.buffered
-      def hasNext: Boolean = in.hasNext
-      def next(): (Long, Array[org.apache.spark.sql.Row]) = {
-        val cid = in.head.getLong(0)
-        val rows = new ArrayBuffer[org.apache.spark.sql.Row]
-        while (in.hasNext && in.head.getLong(0) == cid) rows += in.next()
-        (cid, rows.toArray)
+  private def packBlocks[T](
+      in: Iterator[T],
+      cidOf: T => Long,
+      writeRow: (T, fsstspark.util.ByteArrayBuilder) => Unit
+  ): Iterator[(Long, Int, Array[Byte])] =
+    new Iterator[(Long, Int, Array[Byte])] {
+      private val bufs = new java.util.HashMap[java.lang.Long, BlockBuf]()
+      private var pending: (Long, Int, Array[Byte]) = _
+      private var drain: java.util.Iterator[java.util.Map.Entry[java.lang.Long, BlockBuf]] = _
+
+      private def advance(): Unit = {
+        while (pending == null && in.hasNext) {
+          val row = in.next()
+          val cid = java.lang.Long.valueOf(cidOf(row))
+          var bb = bufs.get(cid)
+          if (bb == null) { bb = new BlockBuf; bufs.put(cid, bb) }
+          writeRow(row, bb.b)
+          bb.n += 1
+          if (bb.b.length >= PregroupFlushBytes) {
+            pending = (cid.longValue(), bb.n, bb.b.result())
+            bufs.remove(cid)
+          }
+        }
+        if (pending == null) {
+          if (drain == null) drain = bufs.entrySet().iterator()
+          while (pending == null && drain.hasNext) {
+            val e = drain.next()
+            if (e.getValue.n > 0) pending = (e.getKey.longValue(), e.getValue.n, e.getValue.b.result())
+          }
+        }
+      }
+
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): (Long, Int, Array[Byte]) = {
+        advance()
+        val r = pending
+        pending = null
+        r
       }
     }
+
+  /** Streams (chunk_id, n, block) rows sorted by chunk_id into one chunk's
+    * block list at a time, with the summed row count.
+    */
+  private def groupPacked(
+      it: Iterator[(Long, Int, Array[Byte])]
+  ): Iterator[(Long, Int, Seq[Array[Byte]])] =
+    new Iterator[(Long, Int, Seq[Array[Byte]])] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): (Long, Int, Seq[Array[Byte]]) = {
+        val cid = in.head._1
+        var n = 0L
+        val blocks = new ArrayBuffer[Array[Byte]]
+        while (in.hasNext && in.head._1 == cid) {
+          val (_, bn, block) = in.next()
+          n += bn
+          blocks += block
+        }
+        require(n <= Int.MaxValue, s"chunk $cid: $n rows overflow")
+        (cid, n.toInt, blocks.toSeq)
+      }
+    }
+
+  /** One column of a multi-column decode pass: the stored type to surface
+    * (`isDouble` restores raw IEEE-754 bits written by a
+    * `ColSpec(isDouble = true)` encode).
+    */
+  final case class ReadSpec(name: String, isLong: Boolean = false, isDouble: Boolean = false) {
+    require(!(isLong && isDouble), s"column $name: isLong and isDouble are exclusive")
+  }
+
+  /** Chunk-aligned multi-column read-back — the read half of
+    * [[encodeColumns]]/[[encodeColumnsLocal]]: a chunk's N per-column
+    * [[ChunkResult]]s group inside ONE task (`groupByKey(chunk_id)` — the
+    * only exchange, and it moves COMPRESSED blobs), each column decodes
+    * once, and the shared key order (chunk content order is the key sort,
+    * identical across a chunk's columns by construction — enforced here by
+    * key-blob byte identity) zips the columns back into full rows with
+    * ZERO joins. The alternative — per-column [[decodeBytes]]/
+    * [[decodeLongs]] plus N−1 equi-joins on key — shuffles N copies of the
+    * DECODED rows; at a 100 TB table rewrite that is N× the exchange
+    * volume for identical output.
+    *
+    * Output schema: `key` string plus one column per spec
+    * (binary / long / double, null-preserving).
+    */
+  def decodeColumns(results: Dataset[ChunkResult], specs: Seq[ReadSpec]): DataFrame = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val names = specs.map(_.name).toArray
+    val isLong = specs.map(sp => sp.isLong || sp.isDouble).toArray
+    val isDouble = specs.map(_.isDouble).toArray
+    val nCols = names.length
+    val schema = StructType(StructField("key", StringType, nullable = false) +:
+      specs.map(sp => StructField(sp.name,
+        if (sp.isDouble) DoubleType else if (sp.isLong) LongType else BinaryType)))
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    results.filter(col("column").isin(names.toSeq: _*))
+      .groupByKey(_.chunk_id)
+      .flatMapGroups { (cid: Long, it: Iterator[ChunkResult]) =>
+        val byCol = new java.util.HashMap[String, ChunkResult]()
+        it.foreach { r =>
+          require(byCol.put(r.column, r) == null, s"chunk $cid: duplicate column ${r.column}")
+        }
+        require(byCol.size == nCols,
+          s"chunk $cid: expected columns [${names.mkString(",")}], found ${byCol.keySet}")
+        val first = byCol.get(names(0))
+        val keyBytes = BytesCodec.decode(first.key_blob)
+        val n = keyBytes.length
+        val keys = new Array[String](n)
+        var i = 0
+        while (i < n) { keys(i) = new String(keyBytes(i), "UTF-8"); i += 1 }
+        val byteVals = new Array[Array[Array[Byte]]](nCols)
+        val longVals = new Array[fsstspark.codec.LongCodec.LongColumn](nCols)
+        var ci = 0
+        while (ci < nCols) {
+          val r = byCol.get(names(ci))
+          // key-blob byte identity = the zip below is sound (same rows,
+          // same order); a result set mixing chunkings/generations fails
+          // loudly instead of mis-zipping columns
+          require(java.util.Arrays.equals(r.key_blob, first.key_blob),
+            s"chunk $cid: column ${names(ci)} has a different key blob than ${names(0)}")
+          if (isLong(ci)) {
+            val c = fsstspark.codec.LongCodec.decode(r.value_blob)
+            require(c.n == n, s"chunk $cid: column ${names(ci)} has ${c.n} rows, keys have $n")
+            longVals(ci) = c
+          } else {
+            val v = BytesCodec.decode(r.value_blob)
+            require(v.length == n, s"chunk $cid: column ${names(ci)} has ${v.length} rows, keys have $n")
+            byteVals(ci) = v
+          }
+          ci += 1
+        }
+        Iterator.tabulate(n) { ri =>
+          val arr = new Array[Any](1 + nCols)
+          arr(0) = keys(ri)
+          var c = 0
+          while (c < nCols) {
+            arr(1 + c) =
+              if (isLong(c)) {
+                val lc = longVals(c)
+                if (lc.nulls(ri)) null
+                else if (isDouble(c)) java.lang.Double.longBitsToDouble(lc.values(ri))
+                else lc.values(ri)
+              } else byteVals(c)(ri)
+            c += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+        }
+      }(rowEnc)
+      .toDF()
+  }
 
   /** Inverse of [[encodeBytes]]: keyed rows back out of the chunk blobs. */
   def decodeBytes(results: Dataset[ChunkResult]): Dataset[KV] = {
@@ -564,6 +869,31 @@ object EncodePipeline {
     }
   }
 
+  /** Equality-predicate pushdown read: each chunk answers
+    * `value == target` from its codec structure
+    * ([[BytesCodec.selectEquals]] — dict membership / run headers; a
+    * dict chunk not containing the target is skipped without touching its
+    * packed indices), and only the MATCHED rows' keys surface. One row per
+    * chunk: `(chunk_id, codec, n_rows, bytes_in, value_bytes_read,
+    * matched_keys)` — `value_bytes_read` vs `bytes_in` is the pushdown
+    * efficiency a caller can assert on (a selective predicate over
+    * dict/RLE chunks touches a vanishing fraction of the value payload).
+    */
+  def filterEquals(results: Dataset[ChunkResult], target: Array[Byte]): DataFrame = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    results.map { r =>
+      val (idx, bytesRead) = BytesCodec.selectEquals(r.value_blob, target)
+      val matched =
+        if (idx.isEmpty) Array.empty[String]
+        else {
+          val keys = BytesCodec.decode(r.key_blob)
+          idx.map(i => new String(keys(i), "UTF-8"))
+        }
+      (r.chunk_id, r.codec, r.n_rows, r.bytes_in, bytesRead, matched)
+    }.toDF("chunk_id", "codec", "n_rows", "bytes_in", "value_bytes_read", "matched_keys")
+  }
+
   /** N10 join-and-compare: decoded vs original, per-key bit-identity.
     * Returns one row per key with a `matched` flag; callers assert
     * `filter(!matched)` is empty or aggregate a mismatch count.
@@ -589,44 +919,4 @@ object EncodePipeline {
           col("original") === col("decoded")).as("matched"))
   }
 
-  /** Streams `(chunkId, key, value)` rows sorted by chunkId into one
-    * buffered chunk at a time (bounded by chunk size, not partition size).
-    */
-  private def groupByChunk(
-      it: Iterator[(Long, String, Array[Byte])]
-  ): Iterator[(Long, Array[String], Array[Array[Byte]])] =
-    new Iterator[(Long, Array[String], Array[Array[Byte]])] {
-      private val in = it.buffered
-      def hasNext: Boolean = in.hasNext
-      def next(): (Long, Array[String], Array[Array[Byte]]) = {
-        val cid = in.head._1
-        val keys = new ArrayBuffer[String]
-        val values = new ArrayBuffer[Array[Byte]]
-        while (in.hasNext && in.head._1 == cid) {
-          val (_, k, v) = in.next()
-          keys += k
-          values += v
-        }
-        (cid, keys.toArray, values.toArray)
-      }
-    }
-
-  private def groupLongsByChunk(
-      it: Iterator[(Long, String, Long)]
-  ): Iterator[(Long, Array[String], Array[Long])] =
-    new Iterator[(Long, Array[String], Array[Long])] {
-      private val in = it.buffered
-      def hasNext: Boolean = in.hasNext
-      def next(): (Long, Array[String], Array[Long]) = {
-        val cid = in.head._1
-        val keys = new ArrayBuffer[String]
-        val values = new ArrayBuffer[Long]
-        while (in.hasNext && in.head._1 == cid) {
-          val (_, k, v) = in.next()
-          keys += k
-          values += v
-        }
-        (cid, keys.toArray, values.toArray)
-      }
-    }
 }

@@ -321,10 +321,12 @@ object Queries {
     fsstspark.textops.Dedup.minhashPairs(
       docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.7)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy("id_a", "id_b") // compare-order only; the library emits unsorted pairs
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     fsstspark.textops.Dedup.simhashPairs(
       docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b") // compare-order only
 
   /** The planted near-duplicates restricted to their known ids — an exact
     * DuckDB oracle for near-dup RECALL: the pipeline must recover every
@@ -379,6 +381,7 @@ object Queries {
     fsstspark.textops.Dedup.embeddingPairs(withDups, "vec_id", "embedding",
         threshold = 0.95)
       .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b") // compare-order only
   }
 
   /** The dropped-bucket accounting surfaced as an oracle-checkable query:
@@ -450,6 +453,7 @@ object Queries {
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       .select(col("query_id").cast("long").as("query_id"),
         col("id").cast("long").as("id"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank") // compare-order only
   }
 
   /** Approximate-ANN correctness surfaced as an oracle-checkable number:
@@ -598,6 +602,63 @@ object Queries {
       .select(col("column"), col("n_rows"), col("bytes_in"),
         coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
       .orderBy("column")
+  }
+
+  /** Predicate pushdown INTO encoded chunks: the low-cardinality `lang`
+    * column encodes as dict chunks, and an equality predicate is answered
+    * from dictionary membership + the packed index section
+    * ([[EncodePipeline.filterEquals]] / [[fsstspark.codec.BytesCodec.selectEquals]])
+    * — zero value bytes materialized, chunks without the target skipped
+    * structurally. Matched row count/keys are DuckDB-oracled; the metric
+    * row asserts every chunk chose dict and the bytes the read touched
+    * are under a quarter of the stored value payload.
+    */
+  def qDictPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kv = documents(s, dir)
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("lang"), "UTF-8").as("value")).as[KV]
+    val enc = EncodePipeline.encodeBytesLocal(kv, "lang", 32L << 10)
+    // two consumers (match agg + metric agg) over one tiny per-chunk frame
+    val res = EncodePipeline.filterEquals(enc, "de".getBytes("UTF-8")).persist()
+    val matched = res.select(explode(col("matched_keys")).as("key"))
+      .agg(count(lit(1)).as("n_matches"), countDistinct(col("key")).as("n_keys"),
+        min("key").as("min_key"), max("key").as("max_key"))
+    val metrics = res.agg(
+      (count(lit(1)) === sum(when(col("codec") === "dict", 1L).otherwise(0L))).as("all_dict"),
+      (sum("value_bytes_read") * 4 < sum("bytes_in")).as("pushdown_ok"))
+    matched.crossJoin(metrics) // 1-row × 1-row
+  }
+
+  /** The read half of the 100 TB rewrite story: all four pages columns
+    * land in the chunk CATALOG via the zero-shuffle rewrite, then the
+    * whole table reconstructs through
+    * [[EncodePipeline.decodeColumns]] — a chunk's four ChunkResults group
+    * in ONE task (the only exchange moves compressed blobs) and zip back
+    * into full rows over the shared key order, ZERO joins for column
+    * reassembly. Fully DuckDB-oracled: every reconstructed row must match
+    * the source byte-for-byte (url, text, html via md5, timestamp micros).
+    */
+  def pagesReadback(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("readback-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val pages = pagesFromDocs(s, dir)
+    val specs = Seq(
+      EncodePipeline.ColSpec("url", encode(col("url"), "UTF-8")),
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("html", col("html")),
+      EncodePipeline.ColSpec("warc_ts", unix_micros(col("warc_ts")), isLong = true))
+    io.writeChunks(
+      EncodePipeline.encodeColumnsLocal(pages, col("url"), specs, 256L << 10), "pages")
+    EncodePipeline.decodeColumns(io.readChunks(s, "pages"), Seq(
+        EncodePipeline.ReadSpec("url"), EncodePipeline.ReadSpec("text"),
+        EncodePipeline.ReadSpec("html"), EncodePipeline.ReadSpec("warc_ts", isLong = true)))
+      .select(decode(col("url"), "UTF-8").as("url"),
+        (decode(col("url"), "UTF-8") === col("key")).as("url_matches_key"),
+        decode(col("text"), "UTF-8").as("text"),
+        md5(col("html")).as("html_md5"),
+        col("warc_ts").as("ts_us"))
+      .orderBy("url") // compare-order only
   }
 
   /** Multimodal plumbing over the pages' binary html column: batched

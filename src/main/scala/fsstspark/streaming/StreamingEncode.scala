@@ -18,6 +18,78 @@ import org.apache.spark.sql.types.StructType
   * replayed after a crash re-encodes to identical ids, and
   * `resumeBytesLocal`'s id-set filter drops duplicates.
   */
+/** Incremental "already ingested" chunk-id cache for [[StreamingEncode.startCatalog]]:
+  * the first call loads the full ledger (manifest ∪ tombstones — a chunk
+  * compacted away was ingested once and must stay deduplicated); every
+  * later call diffs the catalog's committed-batch set against the batches
+  * already folded in and reads ONLY the new batches' manifest partitions —
+  * O(new batches) per micro-batch, not O(manifest). Sound under the
+  * streaming single-writer contract: batch ids are append-only, and every
+  * id a tombstone can name was already in some committed batch's manifest
+  * (compaction only deletes chunks that were live), so new ids only ever
+  * arrive through new batches.
+  */
+final class IngestedIdCache(io: fsstspark.io.TableIO, table: String, column: String) {
+  private var seen: Set[String] = null
+  private var ids: Array[Long] = Array.emptyLongArray // sorted
+  /** Batches whose manifest rows the LAST [[doneIds]] call read — test
+    * instrumentation for the O(new batches) contract.
+    */
+  private[streaming] var lastBatchesRead: Int = -1
+
+  /** Sorted ingested-id array for this column (the broadcastable skip set
+    * [[fsstspark.pipeline.EncodePipeline.encodeBytesLocal]] expects).
+    */
+  def doneIds(spark: SparkSession): Array[Long] = {
+    import spark.implicits._
+    if (!io.tableExists(spark, table)) {
+      lastBatchesRead = 0
+      if (seen == null) seen = Set.empty
+      return ids
+    }
+    if (seen == null) {
+      // cold load: the full ledger, once
+      val committed = io.committedBatchIds(spark, table)
+      val full = io.manifest(spark, table).select("chunk_id", "column")
+        .unionByName(io.deletedChunks(spark, table))
+        .filter(col("column") === column)
+        .select("chunk_id").distinct().as[Long].collect()
+      java.util.Arrays.sort(full)
+      ids = full
+      seen = committed.toSet
+      lastBatchesRead = committed.length
+    } else {
+      val newBatches = io.committedBatchIds(spark, table).filterNot(seen)
+      lastBatchesRead = newBatches.length
+      if (newBatches.nonEmpty) {
+        val fresh = io.manifestForBatches(spark, table, newBatches.toSeq)
+          .filter(col("column") === column)
+          .select("chunk_id").distinct().as[Long].collect()
+        java.util.Arrays.sort(fresh)
+        ids = merge(ids, fresh)
+        seen ++= newBatches
+      }
+    }
+    ids
+  }
+
+  private def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + b.length)
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) { out(k) = a(i); i += 1 }
+      else if (a(i) > b(j)) { out(k) = b(j); j += 1 }
+      else { out(k) = a(i); i += 1; j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+}
+
 object StreamingEncode {
 
   /** Start encoding `srcDir` (parquet files with at least `keyCol` and
@@ -81,22 +153,18 @@ object StreamingEncode {
       .select(col(keyCol).cast("string").as("key"),
         col(valueCol).cast("binary").as("value"))
       .as[KV]
+    // "already ingested" = live chunks PLUS tombstoned ones: a chunk
+    // compacted away was ingested once, and a from-scratch replay must not
+    // revive its pre-compaction id as new data. The cache loads the full
+    // ledger once, then folds in ONLY new committed batches per
+    // micro-batch (see [[IngestedIdCache]]) — never the data files, never
+    // a repeated full-manifest collect.
+    val cache = new IngestedIdCache(io, table, column)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", streamStateDir)
       .foreachBatch { (batch: Dataset[KV], batchId: Long) =>
-        // "already ingested" = live chunks PLUS tombstoned ones: a chunk
-        // compacted away was ingested once, and a from-scratch replay must
-        // not revive its pre-compaction id as new data. The set comes from
-        // the MANIFEST (small metadata table, committed batches only) —
-        // never from the data files, whose per-batch scan cost would grow
-        // with table size on every micro-batch.
-        val done: Array[Long] =
-          if (!io.tableExists(spark, table)) Array.emptyLongArray
-          else io.manifest(spark, table).select("chunk_id", "column")
-            .unionByName(io.deletedChunks(spark, table))
-            .filter(col("column") === column)
-            .select("chunk_id").distinct().as[Long].collect()
+        val done = cache.doneIds(spark)
         val enc = EncodePipeline.encodeBytesLocal(batch, column, targetChunkBytes, done).persist()
         if (enc.count() > 0) io.writeChunks(enc, table)
         enc.unpersist()

