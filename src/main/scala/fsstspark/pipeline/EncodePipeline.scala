@@ -91,19 +91,56 @@ object EncodePipeline {
     * `pmod(col("key").cast("long"), n)` when keys are numeric and the
     * oracle needs a SQL-expressible chunking).
     *
-    * Shuffle shape (the scale-critical part): each map task PRE-GROUPS its
-    * rows by destination chunk into packed byte blocks (varint-framed
-    * key/value pairs, flushed at [[PregroupFlushBytes]]), so the exchange
-    * moves a few large binary blocks per (map task × chunk) instead of
-    * millions of individual rows — the mapPartitions equivalent of a
-    * map-side combiner. Row-at-a-time shuffle serialization dominated this
-    * path's cost (3–5× slower than the zero-shuffle pipeline and below the
-    * ≥0.8 N→4N scaling criterion); block-at-a-time restores it. Reduce
-    * tasks concatenate a chunk's blocks, restore deterministic order with
-    * one in-task key sort, and encode — output is bit-identical to the
-    * row-at-a-time shape.
+    * Shuffle shape: rows go through the exchange AS ROWS — the map stage
+    * is pure Tungsten (scan → UnsafeRow → shuffle write, zero JVM objects
+    * per row), the reduce stage radix-sorts on the single long chunk_id
+    * and streams one buffered chunk at a time into the encode kernel. A
+    * map-side combiner variant that packs each task's rows into per-chunk
+    * byte blocks before the exchange ([[encodeBytesPregrouped]]) was
+    * built for round 4 and MEASURED AGAINST THIS SHAPE same-JVM,
+    * same-window: the row shape won at BOTH scales (313 MB: 1.00 s vs
+    * 1.42 s; 15.2 GB: 21.5 s vs 42.0 s best-of-3, lower GC) — on a
+    * single-node tmpfs exchange Tungsten row serialization is already a
+    * memcpy, and the combiner's three extra full-data copies (pack,
+    * block-materialize, unpack) plus map-side row deserialization cost
+    * more than the per-row shuffle overhead they save. The variant stays
+    * in-tree, default-off, so the measurement is reproducible
+    * (BASELINE.md round-4 shuffle A/B; cf. the round-3 kernel-variant
+    * rejection).
     */
   def encodeBytes(
+      ds: Dataset[KV],
+      column: String,
+      chunkId: Column
+  ): Dataset[ChunkResult] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    // Explicit partition count: without it AQE coalesces the exchange to
+    // ~64MB partitions, capping the reduce stage (sort + train + encode —
+    // the CPU-heavy part) at a handful of tasks regardless of cores.
+    val parts = ds.sparkSession.sessionState.conf.numShufflePartitions
+    // Sort on chunk_id alone (single-long radix sort) — deterministic
+    // per-chunk order is restored by a cheap in-task sort of each chunk's
+    // keys, instead of making Spark's external sorter compare string keys
+    // for every row.
+    ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
+      .as[(Long, String, Array[Byte])]
+      .repartition(parts, col("chunk_id"))
+      .sortWithinPartitions("chunk_id")
+      .mapPartitions { it =>
+        groupByChunkRows(it).map { case (cid, keys, values) =>
+          sortByKey(keys, values)
+          mkResult(cid, column, keys, values)
+        }
+      }
+  }
+
+  /** The round-4 map-side-combiner variant of [[encodeBytes]] — kept
+    * DEFAULT-OFF for reproducible A/B measurement only (it lost to the
+    * row shape at both measured scales on this host; see [[encodeBytes]]
+    * docs + BASELINE.md). Output is bit-identical to [[encodeBytes]].
+    */
+  def encodeBytesPregrouped(
       ds: Dataset[KV],
       column: String,
       chunkId: Column
@@ -158,6 +195,25 @@ object EncodePipeline {
         }
       }
   }
+
+  private def groupByChunkRows(
+      it: Iterator[(Long, String, Array[Byte])]
+  ): Iterator[(Long, Array[String], Array[Array[Byte]])] =
+    new Iterator[(Long, Array[String], Array[Array[Byte]])] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): (Long, Array[String], Array[Array[Byte]]) = {
+        val cid = in.head._1
+        val keys = new ArrayBuffer[String]
+        val values = new ArrayBuffer[Array[Byte]]
+        while (in.hasNext && in.head._1 == cid) {
+          val (_, k, v) = in.next()
+          keys += k
+          values += v
+        }
+        (cid, keys.toArray, values.toArray)
+      }
+    }
 
   /** In-place co-sort of a chunk's keys and values by (key, value bytes) —
     * the value tie-break makes chunk content order (and therefore blob
@@ -313,9 +369,8 @@ object EncodePipeline {
       }
     }
 
-  /** Encode an integer-like column (ids, epoch micros). Same map-side
-    * pre-grouped shuffle as [[encodeBytes]]: values pack as 8 raw LE bytes
-    * after the framed key.
+  /** Encode an integer-like column (ids, epoch micros) — same
+    * row-through-the-exchange shuffle shape as [[encodeBytes]].
     */
   def encodeLongs(
       ds: Dataset[LongKV],
@@ -324,49 +379,42 @@ object EncodePipeline {
   ): Dataset[ChunkResult] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val parts = 2 * ds.sparkSession.sessionState.conf.numShufflePartitions
-    ds.select(chunkId.cast("long").as("chunk_id"),
-        col("key").cast("binary").as("key"), col("value"))
-      .as[(Long, Array[Byte], Long)]
-      .mapPartitions { it =>
-        packBlocks[(Long, Array[Byte], Long)](it, _._1, (row, b) => {
-          val k = row._2
-          b.addVarInt(k.length)
-          b.addBytes(k)
-          val p = b.reserve(8)
-          fsstspark.util.Bytes.putLongLE(b.raw, p, row._3)
-        })
-      }
-      .toDF("chunk_id", "n", "block")
+    val parts = ds.sparkSession.sessionState.conf.numShufflePartitions
+    ds.select(chunkId.cast("long").as("chunk_id"), col("key"), col("value"))
+      .as[(Long, String, Long)]
       .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id")
-      .as[(Long, Int, Array[Byte])]
-      .mapPartitions { blocks =>
-        groupPacked(blocks).map { case (cid, n, bs) =>
-          checkChunkRows(n, cid)
-          val keys = new Array[String](n)
-          val values = new Array[Long](n)
-          var i = 0
-          bs.foreach { block =>
-            val r = new fsstspark.util.ByteReader(block)
-            while (r.remaining > 0) {
-              keys(i) = readKey(r)
-              require(r.remaining >= 8, s"chunk $cid: truncated packed long row $i")
-              values(i) = fsstspark.util.Bytes.getLongLE(r.buf, r.pos)
-              r.pos += 8
-              i += 1
-            }
-          }
-          require(i == n, s"chunk $cid: packed blocks held $i rows, expected $n")
+      .mapPartitions { it =>
+        groupLongsByChunk(it).map { case (cid, keys, values) =>
           sortLongsByKey(keys, values)
           val colv = LongCodec.LongColumn(values, new Array[Boolean](values.length))
           val enc = LongCodec.encodeAuto(colv)
           val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
+          checkChunkRows(values.length, cid)
           ChunkResult(cid, column, LongCodec.names(enc.codec), values.length,
             enc.bytesIn, enc.blob.length, keys.head, keys.last, keyBlob.blob, enc.blob)
         }
       }
   }
+
+  private def groupLongsByChunk(
+      it: Iterator[(Long, String, Long)]
+  ): Iterator[(Long, Array[String], Array[Long])] =
+    new Iterator[(Long, Array[String], Array[Long])] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): (Long, Array[String], Array[Long]) = {
+        val cid = in.head._1
+        val keys = new ArrayBuffer[String]
+        val values = new ArrayBuffer[Long]
+        while (in.hasNext && in.head._1 == cid) {
+          val (_, k, v) = in.next()
+          keys += k
+          values += v
+        }
+        (cid, keys.toArray, values.toArray)
+      }
+    }
 
   /** One column of a multi-column encode pass: `value` must evaluate to
     * BinaryType by default, an integral/long type when `isLong`, or a
@@ -399,10 +447,8 @@ object EncodePipeline {
   ): Dataset[ChunkResult] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val parts = 2 * spark.sessionState.conf.numShufflePartitions
-    // key as BINARY through the exchange (see encodeBytes)
-    val sel = Seq(chunkId.cast("long").as("chunk_id"),
-      key.cast("string").cast("binary").as("key")) ++
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sel = Seq(chunkId.cast("long").as("chunk_id"), key.cast("string").as("key")) ++
       specs.zipWithIndex.map { case (sp, i) =>
         (if (sp.isLong) sp.value.cast("long")
          else if (sp.isDouble) sp.value.cast("double")
@@ -411,111 +457,66 @@ object EncodePipeline {
     val names = specs.map(_.name).toArray
     val isLong = specs.map(sp => sp.isLong || sp.isDouble).toArray
     val isDouble = specs.map(_.isDouble).toArray
-    val nCols = names.length
-    // Same map-side pre-grouped shuffle as [[encodeBytes]]: a packed row is
-    // the framed key, then per column either [flag u8][8B LE raw bits] for
-    // long/double (doubles pack as raw bits here, exactly what the chunk
-    // task stored before) or [varint(len+1)][bytes] for binary.
-    import spark.implicits._
     df.select(sel: _*)
-      .mapPartitions { rows =>
-        packBlocks[org.apache.spark.sql.Row](rows, _.getLong(0), (row, b) => {
-          val k = row.getAs[Array[Byte]](1)
-          b.addVarInt(k.length)
-          b.addBytes(k)
-          var ci = 0
-          while (ci < nCols) {
-            val fi = 2 + ci
-            if (isLong(ci)) {
-              if (row.isNullAt(fi)) b.addByte(0)
-              else {
-                b.addByte(1)
-                val p = b.reserve(8)
-                fsstspark.util.Bytes.putLongLE(b.raw, p,
-                  if (isDouble(ci)) java.lang.Double.doubleToRawLongBits(row.getDouble(fi))
-                  else row.getLong(fi))
-              }
-            } else {
-              if (row.isNullAt(fi)) b.addVarInt(0)
-              else {
-                val v = row.getAs[Array[Byte]](fi)
-                b.addVarInt(v.length + 1)
-                b.addBytes(v)
-              }
-            }
-            ci += 1
-          }
-        })
-      }
-      .toDF("chunk_id", "n", "block")
       .repartition(parts, col("chunk_id"))
       .sortWithinPartitions("chunk_id")
-      .as[(Long, Int, Array[Byte])]
-      .mapPartitions { blocks =>
-        groupPacked(blocks).flatMap { case (cid, n, bs) =>
-          checkChunkRows(n, cid)
+      .mapPartitions { rows =>
+        groupRowsByChunk(rows).flatMap { case (cid, chunk) =>
+          java.util.Arrays.sort(chunk, (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
+            fsstspark.util.Keys.compareUtf8(a.getString(1), b.getString(1)))
+          val n = chunk.length
           val keys = new Array[String](n)
-          val longVals = Array.tabulate(nCols)(ci => if (isLong(ci)) new Array[Long](n) else null)
-          val longNulls = Array.tabulate(nCols)(ci => if (isLong(ci)) new Array[Boolean](n) else null)
-          val byteVals = Array.tabulate(nCols)(ci => if (isLong(ci)) null else new Array[Array[Byte]](n))
           var i = 0
-          bs.foreach { block =>
-            val r = new fsstspark.util.ByteReader(block)
-            while (r.remaining > 0) {
-              keys(i) = readKey(r)
-              var ci = 0
-              while (ci < nCols) {
-                if (isLong(ci)) {
-                  if (r.readByte() == 0) longNulls(ci)(i) = true
-                  else {
-                    require(r.remaining >= 8, s"chunk $cid: truncated packed row $i col $ci")
-                    longVals(ci)(i) = fsstspark.util.Bytes.getLongLE(r.buf, r.pos)
-                    r.pos += 8
-                  }
-                } else {
-                  val l = r.readVarInt()
-                  if (l > 0) byteVals(ci)(i) = r.readBytes(l - 1)
-                }
-                ci += 1
-              }
-              i += 1
-            }
-          }
-          require(i == n, s"chunk $cid: packed blocks held $i rows, expected $n")
-          // keys are unique per the contract; sort a permutation and apply
-          // it to every column (chunk content order = key order)
-          val idx = new Array[Integer](n)
-          i = 0
-          while (i < n) { idx(i) = i; i += 1 }
-          java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
-            fsstspark.util.Keys.compareUtf8(keys(a), keys(b)))
-          val sKeys = new Array[String](n)
-          i = 0
-          while (i < n) { sKeys(i) = keys(idx(i)); i += 1 }
-          val keyBlob = BytesCodec.encodeAuto(sKeys.map(_.getBytes("UTF-8"))).blob
-          val mn = sKeys(0)
-          val mx = sKeys(n - 1)
+          while (i < n) { keys(i) = chunk(i).getString(1); i += 1 }
+          val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob
+          val mn = keys(0)
+          val mx = keys(n - 1)
           names.indices.iterator.map { ci =>
+            val fi = 2 + ci
             if (isLong(ci)) {
               val values = new Array[Long](n)
               val nulls = new Array[Boolean](n)
+              val dbl = isDouble(ci)
               var j = 0
               while (j < n) {
-                values(j) = longVals(ci)(idx(j))
-                nulls(j) = longNulls(ci)(idx(j))
+                if (chunk(j).isNullAt(fi)) nulls(j) = true
+                else values(j) =
+                  if (dbl) java.lang.Double.doubleToRawLongBits(chunk(j).getDouble(fi))
+                  else chunk(j).getLong(fi)
                 j += 1
               }
               mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls)
             } else {
               val values = new Array[Array[Byte]](n)
               var j = 0
-              while (j < n) { values(j) = byteVals(ci)(idx(j)); j += 1 }
+              while (j < n) {
+                if (!chunk(j).isNullAt(fi)) values(j) = chunk(j).getAs[Array[Byte]](fi)
+                j += 1
+              }
               mkBytesResult(cid, names(ci), n, mn, mx, keyBlob, values)
             }
           }
         }
       }
   }
+
+  /** Streams rows sorted by chunk_id (field 0) into one buffered chunk at
+    * a time.
+    */
+  private def groupRowsByChunk(
+      it: Iterator[org.apache.spark.sql.Row]
+  ): Iterator[(Long, Array[org.apache.spark.sql.Row])] =
+    new Iterator[(Long, Array[org.apache.spark.sql.Row])] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): (Long, Array[org.apache.spark.sql.Row]) = {
+        val cid = in.head.getLong(0)
+        val rows = new ArrayBuffer[org.apache.spark.sql.Row]
+        while (in.hasNext && in.head.getLong(0) == cid) rows += in.next()
+        (cid, rows.toArray)
+      }
+    }
+
 
   /** Zero-shuffle multi-column encode: the Iceberg data-file REWRITE shape
     * for a whole table. Each task cuts its own partition's row stream into

@@ -90,6 +90,11 @@ object ScalingBench {
           EncodePipeline.encodeBytes(textKv, "text", chunk)
             .agg(sum("bytes_in")).head().getLong(0) +
           EncodePipeline.encodeBytes(htmlKv, "html", chunk)
+            .agg(sum("bytes_in")).head().getLong(0)),
+        "shuffle_pregroup" -> (() => // round-4 combiner variant, measured & rejected
+          EncodePipeline.encodeBytesPregrouped(textKv, "text", chunk)
+            .agg(sum("bytes_in")).head().getLong(0) +
+          EncodePipeline.encodeBytesPregrouped(htmlKv, "html", chunk)
             .agg(sum("bytes_in")).head().getLong(0))
       )
       for ((mode, runOnce) <- modes if wantModes(mode)) {
@@ -121,7 +126,7 @@ object ScalingBench {
     }
     val cs = cpuLevels.sorted
     if (cs.length >= 2) {
-      for (mode <- Seq("scan", "local", "shuffle") if wantModes(mode)) {
+      for (mode <- Seq("scan", "local", "shuffle", "shuffle_pregroup") if wantModes(mode)) {
         val (tLow, _) = out((cs.head, mode))
         val (tHigh, bytes) = out((cs.last, mode))
         val factor = cs.last.toDouble / cs.head
