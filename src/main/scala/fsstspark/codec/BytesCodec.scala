@@ -308,8 +308,15 @@ object BytesCodec {
     *    materialized;
     *  - RLE — compare each RUN header's value once; a matching run yields
     *    all its row indices, so bytes compared ≈ the collapsed payload;
-    *  - RAW/FSST — no structural shortcut (greedy FSST codes are not
-    *    substring-stable), full decode + filter.
+    *  - FSST — the greedy encoder is DETERMINISTIC per value given the
+    *    table (each value's windows are measured from its own start), so
+    *    equal values have byte-identical code streams: encode the target
+    *    ONCE with the chunk's deserialized table and compare ENCODED
+    *    bytes — no decode, and the per-value length prefix skips every
+    *    value whose encoded length differs without touching its payload.
+    *    (Codes are not substring-stable, so this covers whole-value
+    *    equality only — never LIKE/contains.)
+    *  - RAW — no structural shortcut, full decode + filter.
     *
     * Returns (matching row indices ascending, value-payload bytes read) —
     * the second component is the pushdown-efficiency metric a read path
@@ -371,8 +378,40 @@ object BytesCodec {
           i += runLen
         }
         (toIntArray(out), bytesRead)
+      case FSST =>
+        val tLen = r.readVarInt()
+        require(tLen >= 0 && tLen <= r.remaining, s"corrupt fsst blob: table length $tLen")
+        val table = SymbolTable.deserialize(r.readBytes(tLen))
+        val orig = r.readVarLong()
+        require(orig >= 0 && orig <= 8L * blob.length,
+          s"corrupt fsst blob: declared size $orig out of range for ${blob.length}-byte blob")
+        val lens = new Array[Int](n)
+        var i = 0
+        while (i < n) { lens(i) = r.readVarInt(); i += 1 }
+        val enc = table.newEncoder()
+        val probe = new Array[Byte](Fsst.maxEncodedSize(target.length))
+        val probeLen = enc.encode(target, 0, target.length, probe, 0)
+        val out = new java.util.ArrayList[Integer]()
+        var bytesRead = tLen.toLong // the table is the fixed probe cost
+        var sp = r.pos
+        i = 0
+        while (i < n) {
+          if (lens(i) > 0) {
+            val encLen = lens(i) - 1
+            require(encLen >= 0 && sp + encLen <= blob.length,
+              s"corrupt fsst blob: value $i claims $encLen encoded bytes past blob end")
+            if (encLen == probeLen) {
+              bytesRead += encLen
+              if (java.util.Arrays.equals(blob, sp, sp + encLen, probe, 0, probeLen))
+                out.add(i)
+            }
+            sp += encLen
+          }
+          i += 1
+        }
+        (toIntArray(out), bytesRead)
       case _ =>
-        // RAW/FSST: no structural shortcut — decode and filter
+        // RAW: no structural shortcut — decode and filter
         val values = decode(blob)
         var bytesRead = 0L
         val out = new java.util.ArrayList[Integer]()

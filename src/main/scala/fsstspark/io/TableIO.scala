@@ -25,6 +25,32 @@ trait TableIO {
     */
   def chunksForKey(spark: SparkSession, table: String, key: String): Dataset[ChunkResult]
 
+  /** Chunks of `column` whose VALUE zone map may intersect `[lo, hi]` —
+    * manifest-level pruning on a non-key column (Iceberg column-stats
+    * skipping). Chunks without stats (byte columns, all-null chunks,
+    * pre-stats writers) are conservatively returned. For double columns
+    * pass bounds through [[fsstspark.util.SortableBits.fromDouble]].
+    */
+  def chunksForValueRange(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): Dataset[ChunkResult]
+
+  /** The table as of snapshot `asOf` (a batch id from
+    * [[committedBatchIds]]/[[snapshots]]): chunks from batches committed
+    * with id <= `asOf`, minus deletes whose gating batch is committed and
+    * <= `asOf`. Batch ids embed their creation millis, so lexicographic
+    * order IS time order. Legacy immediate tombstones (written before
+    * deletes were snapshot-gated) apply to every snapshot. Vacuum
+    * physically reclaims files, so snapshots older than the last vacuum
+    * may be unreadable — Iceberg `expire_snapshots` semantics.
+    */
+  def readChunksAsOf(spark: SparkSession, table: String, asOf: String): Dataset[ChunkResult]
+
+  /** One row per committed snapshot, oldest first: batch id, creation
+    * millis parsed from the id, chunks added, and chunk deletes gated on
+    * it (a delete-only snapshot adds zero chunks).
+    */
+  def snapshots(spark: SparkSession, table: String): DataFrame
+
   /** Logically delete chunks (Iceberg delete-file semantics): the ids land
     * in a tombstone table and every read path filters them. Data files are
     * immutable; physical reclamation is a separate GC concern.
@@ -149,6 +175,33 @@ final class ParquetTableIO(root: String) extends TableIO {
     org.apache.spark.sql.Encoders.product[ChunkResult].schema
       .add("batch", org.apache.spark.sql.types.StringType)
 
+  /** Explicit manifest schema, used on EVERY manifest read: batch
+    * partitions written before zone-map stats existed (round ≤3) lack
+    * `value_min`/`value_max` and must read back as null (= not prunable)
+    * rather than leaving the resolved schema to whichever footer
+    * inference samples in a mixed-generation directory.
+    */
+  private val manifestSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType), StructField("column", StringType),
+      StructField("chunk_id", LongType), StructField("codec", StringType),
+      StructField("n_rows", LongType), StructField("bytes_in", LongType),
+      StructField("bytes_out", LongType), StructField("min_key", StringType),
+      StructField("max_key", StringType), StructField("value_min", LongType),
+      StructField("value_max", LongType), StructField("batch", StringType)))
+  }
+
+  private def readManifestRaw(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(manifestSchema).parquet(manifestDir(table))
+
+  /** Time-ordered batch id: fixed-width creation millis first, so the
+    * LEXICOGRAPHIC order of batch ids is their creation order — what
+    * [[readChunksAsOf]]'s `<= asOf` snapshot filter relies on.
+    */
+  private def newBatchId(): String =
+    f"b${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+
   private def hasTombstones(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tombDir(table))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -210,7 +263,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     // (assertNotLegacy's data-without-commits test), which would hard-error
     // every read and make the torn batch unrecoverable by replay.
     fs(spark, commitsDir(table)).mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
-    val batch = f"b${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val batch = newBatchId()
     results.withColumn("batch", lit(batch))
       .write.partitionBy("batch", "column").mode(SaveMode.Append).parquet(dataDir(table))
     // manifest rows land under their own batch= partition, so incremental
@@ -219,7 +272,8 @@ final class ParquetTableIO(root: String) extends TableIO {
     spark.read.parquet(s"${dataDir(table)}/batch=$batch")
       .select(input_file_name().as("file"), col("column"), col("chunk_id"),
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
-        col("min_key"), col("max_key"), lit(batch).as("batch"))
+        col("min_key"), col("max_key"), col("value_min"), col("value_max"),
+        lit(batch).as("batch"))
       .write.partitionBy("batch").mode(SaveMode.Append).parquet(manifestDir(table))
     batch
   }
@@ -244,10 +298,13 @@ final class ParquetTableIO(root: String) extends TableIO {
     * part of the append path.
     */
   def repairManifest(spark: SparkSession, table: String): Unit =
-    committedOnly(spark.read.parquet(dataDir(table)), spark, committedBatches(spark, table))
+    // explicit schema: pre-stats data files read value_min/value_max null
+    committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)),
+        spark, committedBatches(spark, table))
       .select(input_file_name().as("file"), col("column"), col("chunk_id"),
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
-        col("min_key"), col("max_key"), col("batch"))
+        col("min_key"), col("max_key"), col("value_min"), col("value_max"),
+        col("batch"))
       .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(manifestDir(table))
 
   override def readChunks(spark: SparkSession, table: String): Dataset[ChunkResult] = {
@@ -261,12 +318,51 @@ final class ParquetTableIO(root: String) extends TableIO {
       .as[ChunkResult]
   }
 
+  override def readChunksAsOf(spark: SparkSession, table: String, asOf: String): Dataset[ChunkResult] = {
+    import spark.implicits._
+    assertNotLegacy(spark, table)
+    // the snapshot's committed set: marker order is name order because
+    // batch ids lead with fixed-width creation millis (newBatchId)
+    val committed = committedBatches(spark, table).filter(_ <= asOf)
+    notTombstoned(
+      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, committed)
+        .drop("batch"),
+      spark, table, committed)
+      .as[ChunkResult]
+  }
+
+  override def snapshots(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    assertNotLegacy(spark, table)
+    val committed = committedBatches(spark, table).sorted
+    val base = committed.toSeq.toDF("batch")
+    val mDirP = new org.apache.hadoop.fs.Path(manifestDir(table))
+    val adds =
+      if (!fs(spark, manifestDir(table)).exists(mDirP))
+        Seq.empty[(String, Long)].toDF("batch", "n_chunks_added")
+      else readManifestRaw(spark, table)
+        .groupBy("batch").agg(count(lit(1)).as("n_chunks_added"))
+    val dels =
+      if (!hasTombstones(spark, table))
+        Seq.empty[(String, Long)].toDF("batch", "n_deletes_gated")
+      else spark.read.schema(tombSchema).parquet(tombDir(table))
+        .filter(col("gated_by").isNotNull)
+        .groupBy(col("gated_by").as("batch"))
+        .agg(count(lit(1)).as("n_deletes_gated"))
+    base.join(adds, Seq("batch"), "left").join(dels, Seq("batch"), "left")
+      .select(col("batch"),
+        substring(col("batch"), 2, 13).cast("long").as("commit_millis"),
+        coalesce(col("n_chunks_added"), lit(0L)).as("n_chunks_added"),
+        coalesce(col("n_deletes_gated"), lit(0L)).as("n_deletes_gated"))
+      .orderBy("batch")
+  }
+
   override def manifest(spark: SparkSession, table: String): DataFrame = {
     assertNotLegacy(spark, table)
     val committed = committedBatches(spark, table) // ONE snapshot for batch + tombstone filters
     // batch is the manifest's own partition column (uncommitted rows exist
     // only after a crash between manifest append and commit marker)
-    val m = spark.read.parquet(manifestDir(table))
+    val m = readManifestRaw(spark, table)
     notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
   }
 
@@ -285,30 +381,71 @@ final class ParquetTableIO(root: String) extends TableIO {
     // tombstone filter — a replaceChunks commit landing mid-lookup
     // resolves to entirely-old or entirely-new, never neither
     val committed = committedBatches(spark, table)
-    val m = spark.read.parquet(manifestDir(table))
+    val m = readManifestRaw(spark, table)
     val hits = notTombstoned(committedOnly(m, spark, committed).drop("batch"),
         spark, table, committed)
       .filter(col("min_key") <= key && col("max_key") >= key)
       .select("file", "chunk_id")
       .collect()
+    readHitFiles(spark, table, committed, hits)
+  }
+
+  /** Shared tail of the manifest-pruned point/range readers: open ONLY the
+    * hit files with a pushable chunk_id IN filter (row-group pruning
+    * inside each file), re-applying the tombstone filter AFTER the scan —
+    * a hit file can also hold a deleted (chunk, column) row whose
+    * chunk_id survives through another column's manifest entry.
+    */
+  private def readHitFiles(spark: SparkSession, table: String,
+      committed: Array[String],
+      hits: Array[org.apache.spark.sql.Row]): Dataset[ChunkResult] = {
+    import spark.implicits._
     if (hits.isEmpty) return spark.emptyDataset[ChunkResult]
     val files = hits.map(_.getString(0)).distinct
     val ids = hits.map(_.getLong(1)).distinct
-    // the tombstone filter re-applies AFTER the file scan: a hit file can
-    // also hold a deleted (chunk, column) row whose chunk_id survives
-    // through another column's manifest entry
     notTombstoned(
-      spark.read.option("basePath", dataDir(table)).parquet(files: _*)
-        .filter(col("chunk_id").isin(ids: _*))
+      spark.read.schema(chunkReadSchema)
+        .option("basePath", dataDir(table)).parquet(files.toIndexedSeq: _*)
+        .filter(col("chunk_id").isin(ids.toIndexedSeq: _*))
         .drop("batch"),
       spark, table, committed)
       .as[ChunkResult]
   }
 
-  override def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit =
+  override def chunksForValueRange(spark: SparkSession, table: String,
+      column: String, lo: Long, hi: Long): Dataset[ChunkResult] = {
+    assertNotLegacy(spark, table)
+    val committed = committedBatches(spark, table)
+    val m = readManifestRaw(spark, table)
+    val hits = notTombstoned(committedOnly(m, spark, committed).drop("batch"),
+        spark, table, committed)
+      .filter(col("column") === column)
+      // null stats = not prunable (byte column / all-null chunk / pre-stats
+      // writer): conservatively read
+      .filter(col("value_min").isNull ||
+        (col("value_min") <= hi && col("value_max") >= lo))
+      .select("file", "chunk_id")
+      .collect()
+    readHitFiles(spark, table, committed, hits).filter(col("column") === column)
+  }
+
+  /** Deletes are themselves a committed snapshot (a data-less batch whose
+    * tombstones are gated on its marker): current reads see the delete
+    * exactly when the marker lands — same visibility as the old immediate
+    * tombstone, but crash-atomic AND time-travelable, since
+    * [[readChunksAsOf]] an earlier snapshot leaves the gating batch out of
+    * its committed set. Legacy null-gated tombstones (pre-round-4) remain
+    * readable: they apply to every snapshot.
+    */
+  override def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit = {
+    assertNotLegacy(spark, table)
+    fs(spark, commitsDir(table)).mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
+    val batch = newBatchId()
     chunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"),
-        lit(null).cast("string").as("gated_by")) // immediate delete
+        lit(batch).as("gated_by"))
       .write.mode(SaveMode.Append).parquet(tombDir(table))
+    commitBatch(spark, table, batch)
+  }
 
   override def tableExists(spark: SparkSession, table: String): Boolean =
     committedBatches(spark, table).nonEmpty
@@ -320,7 +457,7 @@ final class ParquetTableIO(root: String) extends TableIO {
       batches: Seq[String]): DataFrame =
     // batch is a partition column: the isin filter prunes to the NEW
     // batches' directories — the scan never touches old manifest files
-    spark.read.parquet(manifestDir(table))
+    readManifestRaw(spark, table)
       .filter(col("batch").isin(batches: _*))
       .drop("batch")
 
@@ -341,7 +478,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     assertNotLegacy(spark, table)
     if (!hasTombstones(spark, table)) return 0L
     // raw manifest (tombstones NOT filtered) → per-file live counts
-    val raw = spark.read.parquet(manifestDir(table))
+    val raw = readManifestRaw(spark, table)
     val perFile = raw
       .join(broadcast(tombstones(spark, table, committedBatches(spark, table))
           .distinct().withColumn("__dead", lit(1))),
@@ -377,7 +514,7 @@ final class ParquetTableIO(root: String) extends TableIO {
       import spark.implicits._
       val mDir = manifestDir(table)
       val tmp = mDir + "_rewrite"
-      spark.read.parquet(mDir)
+      readManifestRaw(spark, table)
         .join(broadcast(dead.toSeq.toDF("file")), Seq("file"), "left_anti")
         .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(tmp)
       val f = fs(spark, mDir)

@@ -80,7 +80,12 @@ object Checkpoint {
 
   def read(spark: SparkSession, path: String): Dataset[ChunkResult] = {
     import spark.implicits._
-    spark.read.parquet(path).as[ChunkResult]
+    // explicit schema: a checkpoint whose early appends predate zone-map
+    // stats holds mixed-generation files — pre-stats rows must read
+    // value_min/value_max as null instead of leaving the resolved schema
+    // to footer inference (which could drop the columns entirely)
+    spark.read.schema(org.apache.spark.sql.Encoders.product[ChunkResult].schema)
+      .parquet(path).as[ChunkResult]
   }
 
   /** Distinct (chunk_id, column) pairs already present in the checkpoint. */

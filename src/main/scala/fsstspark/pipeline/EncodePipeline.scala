@@ -29,7 +29,19 @@ final case class ChunkResult(
     min_key: String,
     max_key: String,
     key_blob: Array[Byte],
-    value_blob: Array[Byte]
+    value_blob: Array[Byte],
+    /** Zone map over the chunk's VALUES (Iceberg column-stats analogue,
+      * propagated into the catalog manifest so value predicates prune
+      * chunks at metadata level — [[fsstspark.io.TableIO.chunksForValueRange]]).
+      * Long columns store plain min/max over non-null values; double
+      * columns store min/max of [[fsstspark.util.SortableBits.fromDouble]]
+      * (a monotone map, so range tests transfer exactly); byte/string
+      * columns and all-null chunks store None (never prunable). Nullable
+      * so chunks written before round 4 read back as None via the
+      * explicit read schemas in TableIO/Checkpoint.
+      */
+    value_min: Option[Long] = None,
+    value_max: Option[Long] = None
 )
 
 /** The per-column-chunk encode pipeline (SURVEY.md §7.2 step 2, N7/N8).
@@ -338,11 +350,37 @@ object EncodePipeline {
 
   private def mkLongsResult(cid: Long, column: String, n: Int, mn: String,
       mx: String, keyBlob: Array[Byte], values: Array[Long],
-      nulls: Array[Boolean]): ChunkResult = {
+      nulls: Array[Boolean], doubleBits: Boolean = false): ChunkResult = {
     checkChunkRows(n, cid)
     val enc = LongCodec.encodeAuto(LongCodec.LongColumn(values, nulls))
+    val (vMin, vMax) = valueStats(values, nulls, doubleBits)
     ChunkResult(cid, column, LongCodec.names(enc.codec), n,
-      enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob)
+      enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob, vMin, vMax)
+  }
+
+  /** Zone-map min/max over a long chunk's non-null values. `doubleBits`
+    * values (raw IEEE-754 bits from a double column) pass through the
+    * [[fsstspark.util.SortableBits]] monotone map first so the stored
+    * bounds compare correctly as signed longs. All-null → (None, None).
+    */
+  private def valueStats(values: Array[Long], nulls: Array[Boolean],
+      doubleBits: Boolean): (Option[Long], Option[Long]) = {
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var any = false
+    var i = 0
+    while (i < values.length) {
+      if (!nulls(i)) {
+        val v =
+          if (doubleBits) fsstspark.util.SortableBits.fromDoubleBits(values(i))
+          else values(i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        any = true
+      }
+      i += 1
+    }
+    if (any) (Some(mn), Some(mx)) else (None, None)
   }
 
   /** Cuts a partition's row stream into consecutive chunks of
@@ -387,12 +425,9 @@ object EncodePipeline {
       .mapPartitions { it =>
         groupLongsByChunk(it).map { case (cid, keys, values) =>
           sortLongsByKey(keys, values)
-          val colv = LongCodec.LongColumn(values, new Array[Boolean](values.length))
-          val enc = LongCodec.encodeAuto(colv)
           val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8")))
-          checkChunkRows(values.length, cid)
-          ChunkResult(cid, column, LongCodec.names(enc.codec), values.length,
-            enc.bytesIn, enc.blob.length, keys.head, keys.last, keyBlob.blob, enc.blob)
+          mkLongsResult(cid, column, values.length, keys.head, keys.last,
+            keyBlob.blob, values, new Array[Boolean](values.length))
         }
       }
   }
@@ -485,7 +520,7 @@ object EncodePipeline {
                   else chunk(j).getLong(fi)
                 j += 1
               }
-              mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls)
+              mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls, dbl)
             } else {
               val values = new Array[Array[Byte]](n)
               var j = 0
@@ -585,7 +620,7 @@ object EncodePipeline {
                   else chunk(j).getLong(fi)
                 j += 1
               }
-              mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls)
+              mkLongsResult(cid, names(ci), n, mn, mx, keyBlob, values, nulls, dbl)
             } else {
               val values = new Array[Array[Byte]](n)
               var j = 0

@@ -630,6 +630,35 @@ object Queries {
     matched.crossJoin(metrics) // 1-row × 1-row
   }
 
+  /** Whole-value equality pushdown into FSST chunks: the greedy encoder is
+    * deterministic per value given the chunk's table, so the probe value
+    * encodes ONCE per chunk and matches by comparing ENCODED bytes — no
+    * decode, and the per-value length prefix skips everything whose
+    * encoded length differs ([[fsstspark.codec.BytesCodec.selectEquals]]).
+    * Matches are DuckDB-oracled; `pushdown_ok` pins that the probe touched
+    * <¼ of the input bytes, `all_fsst` that the selector actually chose
+    * FSST for every natural-text chunk (the path under test).
+    */
+  def qFsstPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kv = documents(s, dir)
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("text"), "UTF-8").as("value")).as[KV]
+    val enc = EncodePipeline.encodeBytesLocal(kv, "text", 64L << 10)
+    val probe = documents(s, dir).filter(col("doc_id") === 7)
+      .select(encode(col("text"), "UTF-8")).head().getAs[Array[Byte]](0)
+    val res = EncodePipeline.filterEquals(enc, probe).persist()
+    val matched = res.select(explode(col("matched_keys")).as("key"))
+      .agg(count(lit(1)).as("n_matches"),
+        min("key").as("min_key"), max("key").as("max_key"))
+    val metrics = res.agg(
+      (count(lit(1)) === sum(when(col("codec") === "fsst", 1L).otherwise(0L))).as("all_fsst"),
+      (sum("value_bytes_read") * 4 < sum("bytes_in")).as("pushdown_ok"))
+    val out = matched.crossJoin(metrics) // 1-row × 1-row
+    res.unpersist()
+    out
+  }
+
   /** The read half of the 100 TB rewrite story: all four pages columns
     * land in the chunk CATALOG via the zero-shuffle rewrite, then the
     * whole table reconstructs through
@@ -758,6 +787,87 @@ object Queries {
       .select(col("n_rows"), col("n_mismatch"),
         lit(after < before && res.chunksCompacted == before).as("compacted_ok"),
         lit(nDeleted > 0).as("vacuumed_ok"))
+  }
+
+  /** Zone-map chunk skipping end-to-end (Iceberg column-stats pruning):
+    * cluster events into 6-hour ts buckets (chunk id = bucket, derived
+    * from the key so it is SQL-expressible), encode `ts` into the catalog,
+    * then answer a 5%-of-span range query reading ONLY the chunks whose
+    * manifest `value_min`/`value_max` zone intersects the range. The
+    * pruning arithmetic itself is oracled: chunks_total / chunks_read /
+    * rows_decoded reproduce in DuckDB from the same bucket function, so a
+    * zone map that silently widened (no pruning) or narrowed (lost rows)
+    * both fail the hash compare.
+    */
+  def qZonePruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zonemap-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val W = 21600000000L // 6 h in micros; ~120 buckets over the 30-day span
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("t"), col("event_id"))
+    // key embeds the zero-padded ts so chunk id (= the ts bucket) stays a
+    // pure function of the key, as the encode contract requires
+    val kv = ev.select(
+        concat(lpad(col("t").cast("string"), 20, "0"), lit("#"),
+          col("event_id").cast("string")).as("key"),
+        col("t").as("value")).as[LongKV]
+    val chunk = expr(s"cast(substring(key, 1, 20) as bigint) div $W")
+    io.writeChunks(EncodePipeline.encodeLongs(kv, "ts", chunk), "events")
+    val r = ev.agg(min("t"), max("t")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    // 40%..45% of span — same double arithmetic on both sides of the oracle
+    val lo = mn + math.floor((mx - mn) * 0.40).toLong
+    val hi = mn + math.floor((mx - mn) * 0.45).toLong
+    val total = io.manifest(s, "events").filter(col("column") === "ts").count()
+    val pruned = io.chunksForValueRange(s, "events", "ts", lo, hi)
+    val stats = pruned.agg(count(lit(1)).as("chunks_read"),
+      sum("n_rows").as("rows_decoded"))
+    val matched = EncodePipeline.decodeLongs(pruned)
+      .filter(col("value").between(lo, hi))
+      .agg(count(lit(1)).as("n_match"), min("value").as("min_t_match"),
+        max("value").as("max_t_match"))
+    stats.crossJoin(matched) // two 1-row aggregates
+      .select(lit(total).as("chunks_total"), col("chunks_read"),
+        col("rows_decoded"), col("n_match"), col("min_t_match"),
+        col("max_t_match"))
+  }
+
+  /** Snapshot time travel over the chunk catalog: two appends, then a
+    * snapshot-gated delete of half of batch 1's chunks; the query decodes
+    * the table AS OF each snapshot. Every decoded byte reproduces in
+    * DuckDB from the batch/ delete membership predicates, so a snapshot
+    * that leaked a later batch, missed one, or applied the delete too
+    * early all fail the hash compare; n_snapshots pins the delete itself
+    * appearing as a snapshot.
+    */
+  def catalogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("timetravel-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    def kvOf(pred: Column) = documents(s, dir).filter(pred)
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        encode(col("text"), "UTF-8").as("value")).as[KV]
+    val docId = col("key").cast("long")
+    // batch 1: even ids → chunks 0..15; batch 2: odd ids → chunks 16..31
+    io.writeChunks(EncodePipeline.encodeBytes(
+      kvOf(col("doc_id") % 2 === 0), "text", pmod(docId, lit(16L))), "docs")
+    val snap1 = io.committedBatchIds(s, "docs").max
+    io.writeChunks(EncodePipeline.encodeBytes(
+      kvOf(col("doc_id") % 2 === 1), "text", pmod(docId, lit(16L)) + lit(16L)), "docs")
+    val snap2 = io.committedBatchIds(s, "docs").max
+    io.removeChunks(s, "docs",
+      s.range(0, 8).select(col("id").as("chunk_id"), lit("text").as("column")))
+    val nSnaps = io.snapshots(s, "docs").count() // 2 appends + 1 delete
+    def stateOf(ds: org.apache.spark.sql.Dataset[ChunkResult], snap: Long) =
+      EncodePipeline.decodeBytes(ds)
+        .agg(count(lit(1)).as("n_rows"), sum(octet_length(col("value"))).as("total_bytes"))
+        .select(lit(snap).as("snap"), col("n_rows"), col("total_bytes"),
+          lit(nSnaps).as("n_snapshots"))
+    stateOf(io.readChunksAsOf(s, "docs", snap1), 1L)
+      .unionByName(stateOf(io.readChunksAsOf(s, "docs", snap2), 2L))
+      .unionByName(stateOf(io.readChunks(s, "docs"), 3L))
+      .orderBy("snap")
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =

@@ -42,6 +42,8 @@ object SparkEntry {
     "q_topk_docs" -> (Queries.qTopkDocs _),
     "q_point_lookup" -> (Queries.qPointLookup _),
     "catalog_compaction" -> (Queries.catalogCompaction _),
+    "q_zone_pruning" -> (Queries.qZonePruning _),
+    "catalog_time_travel" -> (Queries.catalogTimeTravel _),
     "q_window_runs" -> (Queries.qWindowRuns _),
     // training-data ops
     "dedup_exact" -> (Queries.dedupExact _),
@@ -64,6 +66,7 @@ object SparkEntry {
     "pages_local_pipeline" -> (Queries.pagesLocalPipeline _),
     "pages_readback" -> (Queries.pagesReadback _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
+    "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
     "multimodal_features" -> (Queries.multimodalFeatures _),
     "streaming_ingest" -> (Queries.streamingIngest _)
@@ -137,6 +140,41 @@ object SparkEntry {
     "catalog_compaction" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch,
          true AS compacted_ok, true AS vacuumed_ok FROM documents""",
+    // zone-map pruning: chunk = 6h ts bucket; the hit set (chunks whose
+    // per-bucket min/max ts intersects the 40%..45%-of-span range) and the
+    // rows decoded from it must reproduce exactly from the bucket function
+    "q_zone_pruning" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+         m AS (SELECT min(t) AS mn, max(t) AS mx FROM e),
+         b AS (SELECT mn + CAST(floor((mx - mn) * 0.40) AS BIGINT) AS lo,
+                      mn + CAST(floor((mx - mn) * 0.45) AS BIGINT) AS hi FROM m),
+         c AS (SELECT t // 21600000000 AS bk, min(t) AS cmn, max(t) AS cmx,
+                      count(*) AS cnt FROM e GROUP BY 1),
+         h AS (SELECT c.cnt FROM c, b WHERE c.cmn <= b.hi AND c.cmx >= b.lo)
+         SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS chunks_total,
+                CAST((SELECT count(*) FROM h) AS BIGINT) AS chunks_read,
+                CAST((SELECT sum(cnt) FROM h) AS BIGINT) AS rows_decoded,
+                CAST(count(*) AS BIGINT) AS n_match,
+                CAST(min(t) AS BIGINT) AS min_t_match,
+                CAST(max(t) AS BIGINT) AS max_t_match
+         FROM e, b WHERE t >= b.lo AND t <= b.hi""",
+    // time travel: snap1 = batch 1 only (even ids), snap2 = both batches,
+    // snap3 (current) = after deleting batch 1's chunks 0..7
+    // (doc_id%16 < 8); 3 snapshots = 2 appends + 1 gated delete
+    "catalog_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+                CAST(3 AS BIGINT) AS n_snapshots
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                CAST(sum(strlen(text)) AS BIGINT), CAST(3 AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+                CAST(sum(strlen(text)) AS BIGINT), CAST(3 AS BIGINT)
+         FROM documents WHERE doc_id % 2 = 1 OR doc_id % 16 >= 8
+         ORDER BY snap""",
     "q_window_runs" ->
       """SELECT chunk_id, CAST(sum(CASE WHEN prev IS NULL OR prev <> lang
          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
@@ -245,6 +283,14 @@ object SparkEntry {
          max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key,
          true AS all_dict, true AS pushdown_ok
          FROM documents WHERE lang = 'de'""",
+    // FSST equality probe: matches exact, probe touches <1/4 of the input
+    "q_fsst_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_matches,
+         min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
+         max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key,
+         true AS all_fsst, true AS pushdown_ok
+         FROM documents
+         WHERE text = (SELECT text FROM documents WHERE doc_id = 7)""",
     // full-table reconstruction from the catalog (decodeColumns zero-join
     // read-back): every row byte-identical to the source
     "pages_readback" ->

@@ -338,14 +338,41 @@ class CodecSpec extends AnyFunSuite {
     val (rHits, rRead) = BytesCodec.selectEquals(rleBlob, "aaa".getBytes(UTF_8))
     assert(rHits.toSeq == Seq(0, 1, 2, 6))
     assert(rRead == 8, s"rle compared $rRead bytes, expected the collapsed 8") // 3+2+3
-    // RAW/FSST fall back to decode+filter and agree with a full scan
-    for (blob <- Seq(BytesCodec.encodeRaw(langs), BytesCodec.encodeFsst(langs))) {
-      val (fHits, fRead) = BytesCodec.selectEquals(blob, "de".getBytes(UTF_8))
-      assert(fHits.toSeq == Seq(1, 3, 5))
-      assert(fRead == bytesIn)
-    }
+    // RAW falls back to decode+filter and agrees with a full scan
+    val (rawHits, rawRead) = BytesCodec.selectEquals(BytesCodec.encodeRaw(langs), "de".getBytes(UTF_8))
+    assert(rawHits.toSeq == Seq(1, 3, 5))
+    assert(rawRead == bytesIn)
+    // FSST answers via the encoded-probe compare and agrees too
+    assert(BytesCodec.selectEquals(BytesCodec.encodeFsst(langs), "de".getBytes(UTF_8))._1.toSeq == Seq(1, 3, 5))
     // matches the ground truth on every codec via encodeAuto too
     val auto = BytesCodec.encodeAuto(langs)
     assert(BytesCodec.selectEquals(auto.blob, "de".getBytes(UTF_8))._1.toSeq == Seq(1, 3, 5))
+  }
+
+  test("selectEquals FSST: encoded-probe equality without decode on natural text") {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/testdata/en_mobydick.txt")), UTF_8)
+      .split("\n").filter(_.nonEmpty).take(4000)
+    // plant duplicates of one probe line and interleave nulls
+    val probeStr = lines(137)
+    val values: Array[Array[Byte]] = (lines :+ probeStr :+ probeStr)
+      .zipWithIndex.map { case (s, i) =>
+        if (i % 97 == 43) null else s.getBytes(UTF_8)
+      }
+    val blob = BytesCodec.encodeFsst(values)
+    val target = probeStr.getBytes(UTF_8)
+    val (hits, read) = BytesCodec.selectEquals(blob, target)
+    // ground truth from a full decode
+    val expected = BytesCodec.decode(blob).zipWithIndex.collect {
+      case (v, i) if v != null && java.util.Arrays.equals(v, target) => i
+    }
+    assert(hits.toSeq == expected.toSeq && hits.nonEmpty)
+    // the length prefix skips most values: only length-colliding encoded
+    // payloads (plus the table) are touched — far below a full decode
+    val bytesIn = values.collect { case v if v != null => v.length.toLong }.sum
+    assert(read * 4 < bytesIn, s"fsst probe read $read of $bytesIn input bytes")
+    // absent target: still exact (no false positives from the probe path)
+    val (miss, _) = BytesCodec.selectEquals(blob, "no such line in the corpus ___".getBytes(UTF_8))
+    assert(miss.isEmpty)
   }
 }

@@ -708,4 +708,176 @@ class PipelineSpec extends AnyFunSuite {
     assert(io.manifest(spark, "docs").filter(col("chunk_id") =!= 999999999L).count() ==
       io.readChunks(spark, "docs").count())
   }
+
+  test("SortableBits: monotone involution over doubles incl. ±0, infinities, denormals") {
+    import fsstspark.util.SortableBits
+    val rnd = new scala.util.Random(4637947)
+    val specials = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, Double.PositiveInfinity, Double.NegativeInfinity,
+      1e-310, -1e-310) // denormals
+    val ds = (specials ++ Seq.fill(5000)(
+      rnd.nextGaussian() * math.pow(10, rnd.nextInt(40) - 20))).toArray
+    val sorted = ds.sorted
+    var i = 1
+    while (i < sorted.length) {
+      assert(SortableBits.fromDouble(sorted(i - 1)) <= SortableBits.fromDouble(sorted(i)),
+        s"order broken at ${sorted(i - 1)} < ${sorted(i)}")
+      if (sorted(i - 1) < sorted(i))
+        assert(SortableBits.fromDouble(sorted(i - 1)) < SortableBits.fromDouble(sorted(i)))
+      i += 1
+    }
+    // involution: mapping twice is the identity on raw bits
+    ds.foreach { d =>
+      val bits = java.lang.Double.doubleToRawLongBits(d)
+      assert(SortableBits.fromDoubleBits(SortableBits.fromDoubleBits(bits)) == bits)
+      assert(java.lang.Double.doubleToRawLongBits(SortableBits.toDouble(SortableBits.fromDouble(d))) == bits)
+    }
+  }
+
+  test("zone maps: per-chunk value stats for long/double columns; bytes and all-null chunks unprunable") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        // chunk 3 all-null, scattered nulls elsewhere
+        when(pmod(col("doc_id"), lit(8)) === 3 || col("doc_id") % 7 === 0, lit(null))
+          .otherwise(col("n_chars")).as("len"),
+        // negative + positive doubles exercise the sortable-bits ordering
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise((col("n_chars").cast("double") - 500.0) / 3.0).as("score"))
+    val chunk = pmod(col("doc_id"), lit(8L))
+    val enc = EncodePipeline.encodeColumns(df, col("doc_id"), chunk,
+      Seq(EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+        EncodePipeline.ColSpec("len", col("len"), isLong = true),
+        EncodePipeline.ColSpec("score", col("score"), isDouble = true))).cache()
+    // bytes: never prunable
+    assert(enc.filter(col("column") === "text")
+      .filter(col("value_min").isNotNull || col("value_max").isNotNull).count() == 0)
+    // long: stats match a direct group-by; the all-null chunk has none
+    val expected = df.groupBy(chunk.as("chunk_id"))
+      .agg(min("len").as("emin"), max("len").as("emax"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    enc.filter(col("column") === "len").collect().foreach { c =>
+      val (emin, emax) = expected(c.chunk_id)
+      assert(c.value_min == emin.map(_.asInstanceOf[Long]) &&
+        c.value_max == emax.map(_.asInstanceOf[Long]),
+        s"chunk ${c.chunk_id}: stats ${c.value_min}/${c.value_max} vs $emin/$emax")
+    }
+    assert(enc.filter(col("column") === "len" && col("chunk_id") === 3)
+      .head().value_min.isEmpty, "all-null chunk must carry no stats")
+    // double: stats are the SortableBits map of the true double min/max
+    val expD = df.groupBy(chunk.as("chunk_id"))
+      .agg(min("score").as("dmin"), max("score").as("dmax"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    enc.filter(col("column") === "score").collect().foreach { c =>
+      val (dmin, dmax) = expD(c.chunk_id)
+      assert(c.value_min.contains(fsstspark.util.SortableBits.fromDouble(dmin)) &&
+        c.value_max.contains(fsstspark.util.SortableBits.fromDouble(dmax)),
+        s"chunk ${c.chunk_id}: double stats mismatch")
+    }
+    // catalog pruning: range read returns exactly the overlapping chunks
+    // PLUS every stat-less chunk of the column (conservative), and decode
+    // over the pruned set finds every in-range row
+    val root = java.nio.file.Files.createTempDirectory("tableio-zone").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    io.writeChunks(enc, "docs")
+    val lens = df.select(col("len")).filter(col("len").isNotNull).as[Long].collect().sorted
+    val (lo, hi) = (lens(lens.length / 3), lens(lens.length / 2))
+    val pruned = io.chunksForValueRange(spark, "docs", "len", lo, hi).cache()
+    val expectedIds = expected.collect {
+      case (cid, (Some(mn), Some(mx)))
+        if mn.asInstanceOf[Long] <= hi && mx.asInstanceOf[Long] >= lo => cid
+    }.toSet + 3L // chunk 3 = all-null stats → conservatively read
+    assert(pruned.select("chunk_id").as[Long].collect().toSet == expectedIds)
+    val inRange = EncodePipeline.decodeLongsNullable(pruned)
+      .filter(col("_2").isNotNull && col("_2") >= lo && col("_2") <= hi).count()
+    assert(inRange == df.filter(col("len") >= lo && col("len") <= hi).count())
+    // a bytes column is never prunable: every chunk comes back
+    assert(io.chunksForValueRange(spark, "docs", "text", 0L, 0L).count() ==
+      enc.filter(col("column") === "text").count())
+    enc.unpersist(); pruned.unpersist()
+  }
+
+  test("zone maps survive mixed generations: pre-stats checkpoint and manifest rows read as unprunable") {
+    import spark.implicits._
+    val kv = Queries.docsKV(spark, sf)
+    val enc = EncodePipeline.encodeBytesLocal(kv, "text", 32L << 10)
+    // a checkpoint whose appends predate zone-map stats: same v3 marker
+    // (the format version did not change — stats are nullable additions),
+    // data files without the stats columns
+    val path = java.nio.file.Files.createTempDirectory("ckpt-oldgen").toString + "/cp"
+    val markerP = new org.apache.hadoop.fs.Path(path, "_fsst_format_version")
+    val mfs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = mfs.create(markerP, true)
+    out.write("3\n".getBytes("UTF-8")); out.close()
+    enc.drop("value_min", "value_max")
+      .write.mode("append").parquet(path)
+    val back = Checkpoint.read(spark, path)
+    assert(back.count() == enc.count())
+    assert(back.filter(col("value_min").isNotNull).count() == 0)
+    // decode still works through the explicit schema
+    assert(EncodePipeline.decodeBytes(back).count() == kv.count())
+    // a catalog whose manifest predates the stats columns: rewrite the
+    // manifest without them; value-range reads treat every chunk as a hit
+    val root = java.nio.file.Files.createTempDirectory("tableio-oldgen").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val lkv = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("string").as("key"), col("n_chars").cast("long").as("value")).as[LongKV]
+    io.writeChunks(EncodePipeline.encodeLongs(lkv, "len", pmod(col("key").cast("long"), lit(8L))), "docs")
+    val mDir = s"$root/docs/manifest"
+    val stripped = spark.read.parquet(mDir).drop("value_min", "value_max").cache()
+    stripped.count()
+    val fsys = new org.apache.hadoop.fs.Path(mDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(mDir), true)
+    stripped.write.partitionBy("batch").parquet(mDir)
+    stripped.unpersist()
+    val all = io.chunksForValueRange(spark, "docs", "len", Long.MaxValue - 1, Long.MaxValue)
+    assert(all.count() == 8, "pre-stats manifest rows must be unprunable, not invisible")
+    assert(io.manifest(spark, "docs").count() == 8)
+  }
+
+  test("time travel: as-of reads, snapshot-gated deletes, snapshot listing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tableio-tt").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val kv = Queries.docsKV(spark, sf)
+    val a = kv.filter(col("key") < "00000400")
+    val b = kv.filter(col("key") >= "00000400")
+    io.writeChunks(EncodePipeline.encodeBytesLocal(a, "text", 16L << 10), "docs")
+    val snap1 = io.committedBatchIds(spark, "docs").max
+    io.writeChunks(EncodePipeline.encodeBytesLocal(b, "text", 16L << 10), "docs")
+    val snap2 = io.committedBatchIds(spark, "docs").max
+    val victims = io.readChunks(spark, "docs")
+      .filter(col("max_key") < "00000400").select("chunk_id", "column").cache()
+    val nVictimRows = EncodePipeline.decodeBytes(
+      io.readChunks(spark, "docs").join(victims, Seq("chunk_id", "column"), "left_semi")
+        .as[ChunkResult]).count()
+    assert(victims.count() > 0 && nVictimRows > 0)
+    io.removeChunks(spark, "docs", victims)
+    // snapshot 1: first batch only, delete not yet visible
+    assert(EncodePipeline.decodeBytes(io.readChunksAsOf(spark, "docs", snap1)).count() == a.count())
+    // snapshot 2: both batches, still pre-delete
+    assert(EncodePipeline.decodeBytes(io.readChunksAsOf(spark, "docs", snap2)).count() == kv.count())
+    // current: delete applied
+    assert(EncodePipeline.decodeBytes(io.readChunks(spark, "docs")).count() ==
+      kv.count() - nVictimRows)
+    // snapshots: 2 appends + 1 delete-only, time-ordered, counts correct
+    val snaps = io.snapshots(spark, "docs").collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getString(0)).toSeq == snaps.map(_.getString(0)).toSeq.sorted)
+    assert(snaps(0).getString(0) == snap1 && snaps(1).getString(0) == snap2)
+    assert(snaps(2).getLong(2) == 0L, "delete snapshot adds no chunks")
+    assert(snaps(2).getLong(3) == victims.count(), "delete snapshot gates the victim pairs")
+    assert(snaps.forall(_.getLong(1) > 0L), "commit_millis parses from the batch id")
+    // a legacy immediate tombstone (gated_by null) applies to EVERY snapshot
+    val legacyVictim = io.readChunksAsOf(spark, "docs", snap1)
+      .select("chunk_id", "column").orderBy("chunk_id").limit(1)
+      .withColumn("gated_by", lit(null).cast("string"))
+    legacyVictim.write.mode("append").parquet(s"$root/docs/tombstones")
+    val legacyId = legacyVictim.select("chunk_id").head().getLong(0)
+    assert(io.readChunksAsOf(spark, "docs", snap1)
+      .filter(col("chunk_id") === legacyId).count() == 0,
+      "null-gated tombstones must hide the chunk in every snapshot")
+    victims.unpersist()
+  }
 }
