@@ -329,6 +329,12 @@ object BytesCodec {
     val n = r.readVarInt()
     require(n >= 0 && n <= MaxDecodedRows,
       s"corrupt bytes blob: value count $n implausible for ${blob.length}-byte blob")
+    // same payload-arithmetic guard as decode: RAW/FSST spend ≥1 blob byte
+    // per value on the length varint, so a flipped count byte fails HERE
+    // instead of driving the FSST arm's O(n) lens allocation (RAW also
+    // re-checks inside the decode it delegates to)
+    if (codec == RAW || codec == FSST) require(n <= blob.length,
+      s"corrupt bytes blob: $n values need ≥$n length bytes, blob has ${blob.length}")
     codec match {
       case DICT =>
         val nDict = r.readVarInt()

@@ -87,6 +87,17 @@ trait TableIO {
   def manifestForBatches(spark: SparkSession, table: String, batches: Seq[String]): DataFrame
 }
 
+/** Process-wide strictly-increasing wall-clock millis for batch ids:
+  * shared across ParquetTableIO instances so every batch id minted in
+  * this process is lexicographically AFTER all earlier ones even within
+  * one millisecond or across an NTP step backwards.
+  */
+private[io] object BatchClock {
+  private val last = new java.util.concurrent.atomic.AtomicLong(0L)
+  def nextMillis(): Long =
+    last.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+}
+
 final class ParquetTableIO(root: String) extends TableIO {
   private def dataDir(table: String) = s"$root/$table/data"
   private def manifestDir(table: String) = s"$root/$table/manifest"
@@ -192,15 +203,48 @@ final class ParquetTableIO(root: String) extends TableIO {
       StructField("value_max", LongType), StructField("batch", StringType)))
   }
 
-  private def readManifestRaw(spark: SparkSession, table: String): DataFrame =
+  private def readManifestRaw(spark: SparkSession, table: String): DataFrame = {
+    assertManifestNotLegacy(spark, table)
     spark.read.schema(manifestSchema).parquet(manifestDir(table))
+  }
+
+  /** Manifests written before the manifest was batch-partitioned (flat
+    * parquet files at the manifest root, `batch` derived from the file
+    * path at read time) would read back with `batch` null under the
+    * explicit schema and be dropped wholesale by the committed-batch
+    * semi-join — every point lookup / range read silently empty, and the
+    * first new append would create a mixed flat/partitioned layout that
+    * fails partition discovery outright. Fail loudly instead (the same
+    * contract as [[assertNotLegacy]]); `repairManifest` rebuilds the
+    * manifest in the partitioned layout from the data files. One
+    * listStatus per manifest read — metadata-scale.
+    */
+  private def assertManifestNotLegacy(spark: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table))
+    val f = fs(spark, manifestDir(table))
+    if (f.exists(p) && f.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      })
+      throw new IllegalStateException(
+        s"catalog table '$table' has a pre-batch-partitioned (flat) manifest; reading it " +
+          "would silently drop its rows — run repairManifest to rebuild it in the " +
+          "partitioned layout")
+  }
 
   /** Time-ordered batch id: fixed-width creation millis first, so the
     * LEXICOGRAPHIC order of batch ids is their creation order — what
-    * [[readChunksAsOf]]'s `<= asOf` snapshot filter relies on.
+    * [[readChunksAsOf]]'s `<= asOf` snapshot filter relies on. The millis
+    * component is forced STRICTLY increasing within the process
+    * ([[BatchClock]]): two commits in the same wall-clock millisecond (or
+    * across a backwards clock step) would otherwise order by the random
+    * suffix, and a delete batch sorting below the append it follows makes
+    * time travel show the delete already applied at the earlier snapshot.
+    * Cross-PROCESS ties remain wall-clock ordered — covered by the
+    * catalog's single-writer contract.
     */
   private def newBatchId(): String =
-    f"b${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+    f"b${BatchClock.nextMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
 
   private def hasTombstones(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tombDir(table))
@@ -495,9 +539,12 @@ final class ParquetTableIO(root: String) extends TableIO {
     // and a crash mid-delete would otherwise leave a manifest naming
     // deleted files (the explicit read schema keeps readChunks working on
     // the emptied table)
+    // partitionBy even though empty: a flat zero-row part file at the
+    // manifest root would read as a legacy manifest (assertManifestNotLegacy)
+    // and collide with the batch= layout on the next append
     if (!anyLive)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw.schema)
-        .write.mode(SaveMode.Overwrite).parquet(manifestDir(table))
+        .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(manifestDir(table))
     val conf = spark.sparkContext.hadoopConfiguration
     var deleted = 0L
     dead.foreach { f =>
@@ -519,7 +566,14 @@ final class ParquetTableIO(root: String) extends TableIO {
         .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(tmp)
       val f = fs(spark, mDir)
       f.delete(new org.apache.hadoop.fs.Path(mDir), true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(mDir))
+      // Hadoop rename reports most failures by RETURN VALUE, not by
+      // throwing — and at this point the old manifest is already gone, so
+      // a swallowed false would leave the table silently manifest-less
+      // while vacuum reports success
+      require(f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(mDir)),
+        s"vacuum: manifest swap rename $tmp -> $mDir failed; " +
+          "the rewritten manifest is intact at the _rewrite path — rename it into place " +
+          "or run repairManifest")
     }
     deleted
   }

@@ -39,6 +39,15 @@ object Compaction {
     * when fewer than two chunks qualify. Content-derived chunk ids make
     * the rewrite idempotent: a rewritten chunk that is content-identical
     * to an existing one is neither re-written nor tombstoned.
+    *
+    * `isDouble` must be set when compacting a column written via
+    * `ColSpec(isDouble = true)`: long and double chunks share codec names
+    * (doubles travel as raw IEEE-754 bits), so the catalog row cannot
+    * distinguish them — but the rewritten zone maps can. Without the flag
+    * a double column's min/max would be recomputed as signed-long order
+    * over raw bits instead of the [[fsstspark.util.SortableBits]] order
+    * the write path stored, and `chunksForValueRange` would silently
+    * prune chunks that contain in-range rows.
     */
   def compactColumn(
       spark: SparkSession,
@@ -46,7 +55,8 @@ object Compaction {
       table: String,
       column: String,
       minChunkBytes: Long,
-      targetChunkBytes: Long = 16L << 20
+      targetChunkBytes: Long = 16L << 20,
+      isDouble: Boolean = false
   ): Result = {
     import spark.implicits._
     val small = io.readChunks(spark, table)
@@ -68,11 +78,17 @@ object Compaction {
     // target-size chunks
     val parts = math.max(1, (bytes / (4 * targetChunkBytes)).toInt)
     val rewritten = (if (isLongColumn) {
-      val kv = EncodePipeline.decodeLongsNullable(small).toDF("key", "value")
+      // double columns re-enter through the isDouble spec so the rewritten
+      // zone maps stay in SortableBits space (bits → double → bits is the
+      // raw-bit identity, so the data rewrite stays bit-exact either way)
+      val dec = if (isDouble) EncodePipeline.decodeDoubles(small).toDF("key", "value")
+                else EncodePipeline.decodeLongsNullable(small).toDF("key", "value")
+      val kv = dec
         .repartitionByRange(parts, col("key"))
         .sortWithinPartitions("key")
       EncodePipeline.encodeColumnsLocal(kv, col("key"),
-        Seq(EncodePipeline.ColSpec(column, col("value"), isLong = true)), targetChunkBytes)
+        Seq(EncodePipeline.ColSpec(column, col("value"), isLong = !isDouble, isDouble = isDouble)),
+        targetChunkBytes)
     } else {
       val kv = EncodePipeline.decodeBytes(small)
         .repartitionByRange(parts, col("key"))

@@ -208,23 +208,31 @@ object EncodePipeline {
       }
   }
 
+  /** THE run-grouping loop: streams rows sorted by chunk id into one
+    * buffered chunk at a time — `keyOf` extracts the chunk id, `build`
+    * folds the chunk's buffered rows into the emitted value. Single
+    * implementation for every encode/decode grouping path (the rows are
+    * already materialized by the upstream iterator, so buffering them
+    * whole adds no allocation; one chunk resident at a time).
+    */
+  private def groupRuns[T, R](it: Iterator[T], keyOf: T => Long)(
+      build: (Long, ArrayBuffer[T]) => R): Iterator[R] =
+    new Iterator[R] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): R = {
+        val cid = keyOf(in.head)
+        val buf = new ArrayBuffer[T]
+        while (in.hasNext && keyOf(in.head) == cid) buf += in.next()
+        build(cid, buf)
+      }
+    }
+
   private def groupByChunkRows(
       it: Iterator[(Long, String, Array[Byte])]
   ): Iterator[(Long, Array[String], Array[Array[Byte]])] =
-    new Iterator[(Long, Array[String], Array[Array[Byte]])] {
-      private val in = it.buffered
-      def hasNext: Boolean = in.hasNext
-      def next(): (Long, Array[String], Array[Array[Byte]]) = {
-        val cid = in.head._1
-        val keys = new ArrayBuffer[String]
-        val values = new ArrayBuffer[Array[Byte]]
-        while (in.hasNext && in.head._1 == cid) {
-          val (_, k, v) = in.next()
-          keys += k
-          values += v
-        }
-        (cid, keys.toArray, values.toArray)
-      }
+    groupRuns(it, (r: (Long, String, Array[Byte])) => r._1) { (cid, buf) =>
+      (cid, buf.map(_._2).toArray, buf.map(_._3).toArray)
     }
 
   /** In-place co-sort of a chunk's keys and values by (key, value bytes) —
@@ -435,20 +443,8 @@ object EncodePipeline {
   private def groupLongsByChunk(
       it: Iterator[(Long, String, Long)]
   ): Iterator[(Long, Array[String], Array[Long])] =
-    new Iterator[(Long, Array[String], Array[Long])] {
-      private val in = it.buffered
-      def hasNext: Boolean = in.hasNext
-      def next(): (Long, Array[String], Array[Long]) = {
-        val cid = in.head._1
-        val keys = new ArrayBuffer[String]
-        val values = new ArrayBuffer[Long]
-        while (in.hasNext && in.head._1 == cid) {
-          val (_, k, v) = in.next()
-          keys += k
-          values += v
-        }
-        (cid, keys.toArray, values.toArray)
-      }
+    groupRuns(it, (r: (Long, String, Long)) => r._1) { (cid, buf) =>
+      (cid, buf.map(_._2).toArray, buf.map(_._3).toArray)
     }
 
   /** One column of a multi-column encode pass: `value` must evaluate to
@@ -541,15 +537,8 @@ object EncodePipeline {
   private def groupRowsByChunk(
       it: Iterator[org.apache.spark.sql.Row]
   ): Iterator[(Long, Array[org.apache.spark.sql.Row])] =
-    new Iterator[(Long, Array[org.apache.spark.sql.Row])] {
-      private val in = it.buffered
-      def hasNext: Boolean = in.hasNext
-      def next(): (Long, Array[org.apache.spark.sql.Row]) = {
-        val cid = in.head.getLong(0)
-        val rows = new ArrayBuffer[org.apache.spark.sql.Row]
-        while (in.hasNext && in.head.getLong(0) == cid) rows += in.next()
-        (cid, rows.toArray)
-      }
+    groupRuns(it, (r: org.apache.spark.sql.Row) => r.getLong(0)) { (cid, buf) =>
+      (cid, buf.toArray)
     }
 
 
@@ -741,21 +730,10 @@ object EncodePipeline {
   private def groupPacked(
       it: Iterator[(Long, Int, Array[Byte])]
   ): Iterator[(Long, Int, Seq[Array[Byte]])] =
-    new Iterator[(Long, Int, Seq[Array[Byte]])] {
-      private val in = it.buffered
-      def hasNext: Boolean = in.hasNext
-      def next(): (Long, Int, Seq[Array[Byte]]) = {
-        val cid = in.head._1
-        var n = 0L
-        val blocks = new ArrayBuffer[Array[Byte]]
-        while (in.hasNext && in.head._1 == cid) {
-          val (_, bn, block) = in.next()
-          n += bn
-          blocks += block
-        }
-        require(n <= Int.MaxValue, s"chunk $cid: $n rows overflow")
-        (cid, n.toInt, blocks.toSeq)
-      }
+    groupRuns(it, (r: (Long, Int, Array[Byte])) => r._1) { (cid, buf) =>
+      val n = buf.foldLeft(0L)(_ + _._2)
+      require(n <= Int.MaxValue, s"chunk $cid: $n rows overflow")
+      (cid, n.toInt, buf.map(_._3).toSeq)
     }
 
   /** One column of a multi-column decode pass: the stored type to surface

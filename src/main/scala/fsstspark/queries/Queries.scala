@@ -619,15 +619,18 @@ object Queries {
       .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
         encode(col("lang"), "UTF-8").as("value")).as[KV]
     val enc = EncodePipeline.encodeBytesLocal(kv, "lang", 32L << 10)
-    // two consumers (match agg + metric agg) over one tiny per-chunk frame
-    val res = EncodePipeline.filterEquals(enc, "de".getBytes("UTF-8")).persist()
-    val matched = res.select(explode(col("matched_keys")).as("key"))
-      .agg(count(lit(1)).as("n_matches"), countDistinct(col("key")).as("n_keys"),
-        min("key").as("min_key"), max("key").as("max_key"))
-    val metrics = res.agg(
+    val res = EncodePipeline.filterEquals(enc, "de".getBytes("UTF-8"))
+    // ONE aggregation pass consumes the per-chunk frame: match stats come
+    // from the matched_keys arrays in place (array_min/max of an empty
+    // array is null, which min/max skip), so the encode+probe pipeline
+    // executes exactly once with nothing persisted
+    res.agg(
+      sum(size(col("matched_keys"))).as("n_matches"),
+      size(array_distinct(flatten(collect_list(col("matched_keys"))))).cast("long").as("n_keys"),
+      min(array_min(col("matched_keys"))).as("min_key"),
+      max(array_max(col("matched_keys"))).as("max_key"),
       (count(lit(1)) === sum(when(col("codec") === "dict", 1L).otherwise(0L))).as("all_dict"),
       (sum("value_bytes_read") * 4 < sum("bytes_in")).as("pushdown_ok"))
-    matched.crossJoin(metrics) // 1-row × 1-row
   }
 
   /** Whole-value equality pushdown into FSST chunks: the greedy encoder is
@@ -647,16 +650,15 @@ object Queries {
     val enc = EncodePipeline.encodeBytesLocal(kv, "text", 64L << 10)
     val probe = documents(s, dir).filter(col("doc_id") === 7)
       .select(encode(col("text"), "UTF-8")).head().getAs[Array[Byte]](0)
-    val res = EncodePipeline.filterEquals(enc, probe).persist()
-    val matched = res.select(explode(col("matched_keys")).as("key"))
-      .agg(count(lit(1)).as("n_matches"),
-        min("key").as("min_key"), max("key").as("max_key"))
-    val metrics = res.agg(
+    val res = EncodePipeline.filterEquals(enc, probe)
+    // single aggregation pass (see qDictPushdown): the FSST train+encode
+    // runs once, nothing persisted, no post-hoc unpersist lifecycle
+    res.agg(
+      sum(size(col("matched_keys"))).as("n_matches"),
+      min(array_min(col("matched_keys"))).as("min_key"),
+      max(array_max(col("matched_keys"))).as("max_key"),
       (count(lit(1)) === sum(when(col("codec") === "fsst", 1L).otherwise(0L))).as("all_fsst"),
       (sum("value_bytes_read") * 4 < sum("bytes_in")).as("pushdown_ok"))
-    val out = matched.crossJoin(metrics) // 1-row × 1-row
-    res.unpersist()
-    out
   }
 
   /** The read half of the 100 TB rewrite story: all four pages columns
@@ -816,9 +818,12 @@ object Queries {
     io.writeChunks(EncodePipeline.encodeLongs(kv, "ts", chunk), "events")
     val r = ev.agg(min("t"), max("t")).head()
     val (mn, mx) = (r.getLong(0), r.getLong(1))
-    // 40%..45% of span — same double arithmetic on both sides of the oracle
-    val lo = mn + math.floor((mx - mn) * 0.40).toLong
-    val hi = mn + math.floor((mx - mn) * 0.45).toLong
+    // 40%..45% of span in PURE LONG arithmetic — a double product here
+    // ((mx-mn)*0.40) can round across an integer boundary differently
+    // than DuckDB's exact DECIMAL multiply and flip a boundary row; the
+    // span is ~2.6e12 µs so *45 is nowhere near Long overflow
+    val lo = mn + (mx - mn) * 40 / 100
+    val hi = mn + (mx - mn) * 45 / 100
     val total = io.manifest(s, "events").filter(col("column") === "ts").count()
     val pruned = io.chunksForValueRange(s, "events", "ts", lo, hi)
     val stats = pruned.agg(count(lit(1)).as("chunks_read"),

@@ -146,8 +146,8 @@ object SparkEntry {
     "q_zone_pruning" ->
       """WITH e AS (SELECT epoch_us(ts) AS t FROM events),
          m AS (SELECT min(t) AS mn, max(t) AS mx FROM e),
-         b AS (SELECT mn + CAST(floor((mx - mn) * 0.40) AS BIGINT) AS lo,
-                      mn + CAST(floor((mx - mn) * 0.45) AS BIGINT) AS hi FROM m),
+         b AS (SELECT mn + (mx - mn) * 40 // 100 AS lo,
+                      mn + (mx - mn) * 45 // 100 AS hi FROM m),
          c AS (SELECT t // 21600000000 AS bk, min(t) AS cmn, max(t) AS cmx,
                       count(*) AS cnt FROM e GROUP BY 1),
          h AS (SELECT c.cnt FROM c, b WHERE c.cmn <= b.hi AND c.cmx >= b.lo)

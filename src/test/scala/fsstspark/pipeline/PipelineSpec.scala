@@ -388,6 +388,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter(!(col("len") <=> col("decoded"))).count() == 0)
   }
 
+  test("compaction of a DOUBLE column is bit-exact AND keeps zone maps in SortableBits space") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact-double").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    // sign-crossing doubles: signed-long order over raw IEEE bits ranks
+    // negatives by MAGNITUDE and far from the positives, so stats written
+    // in raw-bit space make range pruning silently drop chunks —
+    // SortableBits order is the only order pruning is correct in
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+        when(col("doc_id") % 9 === 0, lit(null))
+          .otherwise((col("n_chars").cast("double") - 500.0) / 3.0).as("score"))
+    val frag = EncodePipeline.encodeColumnsLocal(df, col("k"),
+      Seq(EncodePipeline.ColSpec("score", col("score"), isDouble = true)), 1L << 10)
+    io.writeChunks(frag, "t")
+    val before = io.readChunks(spark, "t").count()
+    assert(before > 3, s"fixture should fragment, got $before chunks")
+    val res = fsstspark.pipeline.Compaction.compactColumn(
+      spark, io, "t", "score", minChunkBytes = 1L << 20, targetChunkBytes = 64L << 10,
+      isDouble = true)
+    assert(res.chunksCompacted == before)
+    val after = io.readChunks(spark, "t").cache()
+    assert(after.count() < before)
+    // doubles round-trip bit-exactly through the rewrite
+    val dec = EncodePipeline.decodeDoubles(after).toDF("k", "decoded")
+    val joined = df.join(dec, Seq("k"), "full_outer")
+    assert(joined.filter(!(col("score") <=> col("decoded"))).count() == 0)
+    // zone maps on the REWRITTEN chunks are in SortableBits space: global
+    // stat extremes equal the sortable map of the true double min/max
+    // (raw-bit stats would put negative scores at huge negative longs)
+    val r = df.agg(min("score"), max("score")).head()
+    val statMin = after.collect().flatMap(_.value_min).min
+    val statMax = after.collect().flatMap(_.value_max).max
+    assert(statMin == fsstspark.util.SortableBits.fromDouble(r.getDouble(0)),
+      "compacted double chunk stats must stay in SortableBits space")
+    assert(statMax == fsstspark.util.SortableBits.fromDouble(r.getDouble(1)))
+    // and a sign-crossing range read over the compacted table misses nothing
+    val (loD, hiD) = (-50.0, 60.0)
+    val pruned = io.chunksForValueRange(spark, "t", "score",
+      fsstspark.util.SortableBits.fromDouble(loD), fsstspark.util.SortableBits.fromDouble(hiD))
+    val found = EncodePipeline.decodeDoubles(pruned)
+      .filter(col("_2").isNotNull && col("_2") >= loD && col("_2") <= hiD).count()
+    assert(found == df.filter(col("score").between(loD, hiD)).count(),
+      "range read over compacted double chunks lost rows — zone maps corrupted")
+    after.unpersist()
+  }
+
   test("legacy pre-marker catalogs fail loudly; commitAllBatches migrates them") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("legacy").toString
