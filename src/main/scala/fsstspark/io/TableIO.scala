@@ -96,6 +96,13 @@ private[io] object BatchClock {
   private val last = new java.util.concurrent.atomic.AtomicLong(0L)
   def nextMillis(): Long =
     last.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+  /** Advance past ids minted by a PREVIOUS process: a commit burst can
+    * push minted millis ahead of the wall clock, and a restarted writer
+    * re-seeded from `currentTimeMillis` alone could otherwise mint an id
+    * that sorts BEFORE its predecessor's last commit.
+    */
+  def ensureAtLeast(ms: Long): Unit =
+    last.updateAndGet(prev => math.max(prev, ms))
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
@@ -229,7 +236,8 @@ final class ParquetTableIO(root: String) extends TableIO {
       throw new IllegalStateException(
         s"catalog table '$table' has a pre-batch-partitioned (flat) manifest; reading it " +
           "would silently drop its rows — run repairManifest to rebuild it in the " +
-          "partitioned layout")
+          "partitioned layout (a flat zero-row manifest left by an older full vacuum " +
+          "migrates the same way)")
   }
 
   /** Time-ordered batch id: fixed-width creation millis first, so the
@@ -245,6 +253,25 @@ final class ParquetTableIO(root: String) extends TableIO {
     */
   private def newBatchId(): String =
     f"b${BatchClock.nextMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Mint a batch id strictly after every id this table has already
+    * committed — closes the cross-RESTART window: if the previous writer
+    * process minted ahead of the wall clock (commit burst) and this
+    * process starts within that gap, seeding from the table's own commit
+    * markers keeps new commits lexicographically after old ones. Ids that
+    * don't parse as `b<millis13>-…` (none are minted today) are ignored.
+    */
+  private def mintBatchId(spark: SparkSession, table: String): String = {
+    val existing = committedBatches(spark, table)
+    var i = 0
+    while (i < existing.length) {
+      val b = existing(i)
+      if (b.length >= 14 && b.charAt(0) == 'b' && b.substring(1, 14).forall(_.isDigit))
+        BatchClock.ensureAtLeast(b.substring(1, 14).toLong)
+      i += 1
+    }
+    newBatchId()
+  }
 
   private def hasTombstones(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tombDir(table))
@@ -307,7 +334,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     // (assertNotLegacy's data-without-commits test), which would hard-error
     // every read and make the torn batch unrecoverable by replay.
     fs(spark, commitsDir(table)).mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
-    val batch = newBatchId()
+    val batch = mintBatchId(spark, table)
     results.withColumn("batch", lit(batch))
       .write.partitionBy("batch", "column").mode(SaveMode.Append).parquet(dataDir(table))
     // manifest rows land under their own batch= partition, so incremental
@@ -349,7 +376,10 @@ final class ParquetTableIO(root: String) extends TableIO {
         col("codec"), col("n_rows"), col("bytes_in"), col("bytes_out"),
         col("min_key"), col("max_key"), col("value_min"), col("value_max"),
         col("batch"))
-      .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(manifestDir(table))
+      // static: a session running partitionOverwriteMode=dynamic would
+      // otherwise leave stale batch= partitions the rebuild didn't emit
+      .write.partitionBy("batch").option("partitionOverwriteMode", "static")
+      .mode(SaveMode.Overwrite).parquet(manifestDir(table))
 
   override def readChunks(spark: SparkSession, table: String): Dataset[ChunkResult] = {
     import spark.implicits._
@@ -484,7 +514,7 @@ final class ParquetTableIO(root: String) extends TableIO {
   override def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit = {
     assertNotLegacy(spark, table)
     fs(spark, commitsDir(table)).mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
-    val batch = newBatchId()
+    val batch = mintBatchId(spark, table)
     chunkIds.select(col("chunk_id").cast("long"), col("column").cast("string"),
         lit(batch).as("gated_by"))
       .write.mode(SaveMode.Append).parquet(tombDir(table))
@@ -541,10 +571,14 @@ final class ParquetTableIO(root: String) extends TableIO {
     // the emptied table)
     // partitionBy even though empty: a flat zero-row part file at the
     // manifest root would read as a legacy manifest (assertManifestNotLegacy)
-    // and collide with the batch= layout on the next append
+    // and collide with the batch= layout on the next append. static mode
+    // is forced: under partitionOverwriteMode=dynamic an EMPTY overwrite
+    // deletes nothing and the stale manifest would keep naming the files
+    // deleted just below
     if (!anyLive)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw.schema)
-        .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(manifestDir(table))
+        .write.partitionBy("batch").option("partitionOverwriteMode", "static")
+        .mode(SaveMode.Overwrite).parquet(manifestDir(table))
     val conf = spark.sparkContext.hadoopConfiguration
     var deleted = 0L
     dead.foreach { f =>
@@ -563,7 +597,10 @@ final class ParquetTableIO(root: String) extends TableIO {
       val tmp = mDir + "_rewrite"
       readManifestRaw(spark, table)
         .join(broadcast(dead.toSeq.toDF("file")), Seq("file"), "left_anti")
-        .write.partitionBy("batch").mode(SaveMode.Overwrite).parquet(tmp)
+        // static: a crashed earlier vacuum may have left partitions in the
+        // _rewrite dir that dynamic mode would merge instead of replace
+        .write.partitionBy("batch").option("partitionOverwriteMode", "static")
+        .mode(SaveMode.Overwrite).parquet(tmp)
       val f = fs(spark, mDir)
       f.delete(new org.apache.hadoop.fs.Path(mDir), true)
       // Hadoop rename reports most failures by RETURN VALUE, not by

@@ -40,14 +40,15 @@ object Compaction {
     * the rewrite idempotent: a rewritten chunk that is content-identical
     * to an existing one is neither re-written nor tombstoned.
     *
-    * `isDouble` must be set when compacting a column written via
-    * `ColSpec(isDouble = true)`: long and double chunks share codec names
-    * (doubles travel as raw IEEE-754 bits), so the catalog row cannot
-    * distinguish them — but the rewritten zone maps can. Without the flag
-    * a double column's min/max would be recomputed as signed-long order
-    * over raw bits instead of the [[fsstspark.util.SortableBits]] order
-    * the write path stored, and `chunksForValueRange` would silently
-    * prune chunks that contain in-range rows.
+    * The value KIND (bytes / long / double) is re-derived from the
+    * catalog's codec names alone — double chunks carry
+    * [[EncodePipeline.DoubleCodecSuffix]] — so no call site has to
+    * remember what type a column was written as. Getting this wrong is
+    * not cosmetic: a double column rewritten down the long path would get
+    * zone maps recomputed in signed-long order over raw IEEE bits instead
+    * of the [[fsstspark.util.SortableBits]] order the write path stored,
+    * and `chunksForValueRange` would silently prune chunks that contain
+    * in-range rows.
     */
   def compactColumn(
       spark: SparkSession,
@@ -55,8 +56,7 @@ object Compaction {
       table: String,
       column: String,
       minChunkBytes: Long,
-      targetChunkBytes: Long = 16L << 20,
-      isDouble: Boolean = false
+      targetChunkBytes: Long = 16L << 20
   ): Result = {
     import spark.implicits._
     val small = io.readChunks(spark, table)
@@ -68,19 +68,20 @@ object Compaction {
     if (victims.length < 2) return Result(0, 0, 0)
     val oldIds = victims.map(_._1).toSet
     val bytes = victims.map(_._2).sum
-    // long/double columns travel through the nullable-long decode and the
-    // isLong column spec (doubles are raw IEEE bits either way, so the
-    // rewrite is bit-exact); byte columns through the KV pipeline
+    // the catalog's codec name decides the rewrite path: plain LongCodec
+    // names → long route, the _f64-suffixed forms → double route (so the
+    // rewritten zone maps stay in SortableBits space), anything else →
+    // byte route. Doubles are raw IEEE bits under either long codec, so
+    // the data rewrite is bit-exact regardless — only the stats differ.
     val longCodecNames = fsstspark.codec.LongCodec.names.values.toSet
-    val isLongColumn = longCodecNames.contains(victims.head._3)
+    val headCodec = victims.head._3
+    val isDouble = headCodec.endsWith(EncodePipeline.DoubleCodecSuffix)
+    val isLongColumn = isDouble || longCodecNames.contains(headCodec)
     // re-cluster by key so rewritten chunks are key ranges (tight manifest
     // min/max); partition count sized so each partition emits a handful of
     // target-size chunks
     val parts = math.max(1, (bytes / (4 * targetChunkBytes)).toInt)
     val rewritten = (if (isLongColumn) {
-      // double columns re-enter through the isDouble spec so the rewritten
-      // zone maps stay in SortableBits space (bits → double → bits is the
-      // raw-bit identity, so the data rewrite stays bit-exact either way)
       val dec = if (isDouble) EncodePipeline.decodeDoubles(small).toDF("key", "value")
                 else EncodePipeline.decodeLongsNullable(small).toDF("key", "value")
       val kv = dec

@@ -356,13 +356,24 @@ object EncodePipeline {
       enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob)
   }
 
+  /** Marks a chunk whose long values are raw IEEE-754 double bits. The
+    * catalog row's codec name carries it (`xor_f64` vs `xor`) so
+    * maintenance jobs (compaction) can re-derive the value KIND from the
+    * catalog alone — zone-map space depends on it, and trusting every
+    * call site to remember a flag is how stats silently end up in the
+    * wrong order. The blob itself is unchanged (decode reads the blob's
+    * own codec byte, never the name).
+    */
+  final val DoubleCodecSuffix = "_f64"
+
   private def mkLongsResult(cid: Long, column: String, n: Int, mn: String,
       mx: String, keyBlob: Array[Byte], values: Array[Long],
       nulls: Array[Boolean], doubleBits: Boolean = false): ChunkResult = {
     checkChunkRows(n, cid)
     val enc = LongCodec.encodeAuto(LongCodec.LongColumn(values, nulls))
     val (vMin, vMax) = valueStats(values, nulls, doubleBits)
-    ChunkResult(cid, column, LongCodec.names(enc.codec), n,
+    val name = LongCodec.names(enc.codec) + (if (doubleBits) DoubleCodecSuffix else "")
+    ChunkResult(cid, column, name, n,
       enc.bytesIn, enc.blob.length, mn, mx, keyBlob, enc.blob, vMin, vMax)
   }
 

@@ -626,7 +626,11 @@ object Queries {
     // executes exactly once with nothing persisted
     res.agg(
       sum(size(col("matched_keys"))).as("n_matches"),
-      size(array_distinct(flatten(collect_list(col("matched_keys"))))).cast("long").as("n_keys"),
+      // per-chunk distinct, summed: chunks are key-disjoint here (keys are
+      // unique doc ids), so this equals the oracle's global distinct
+      // without funnelling every matched key through one aggregation
+      // buffer the way a collect_list/flatten global distinct would
+      sum(size(array_distinct(col("matched_keys")))).as("n_keys"),
       min(array_min(col("matched_keys"))).as("min_key"),
       max(array_max(col("matched_keys"))).as("max_key"),
       (count(lit(1)) === sum(when(col("codec") === "dict", 1L).otherwise(0L))).as("all_dict"),

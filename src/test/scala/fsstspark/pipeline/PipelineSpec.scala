@@ -405,9 +405,10 @@ class PipelineSpec extends AnyFunSuite {
     io.writeChunks(frag, "t")
     val before = io.readChunks(spark, "t").count()
     assert(before > 3, s"fixture should fragment, got $before chunks")
+    // no type hint passed: the double route must be re-derived from the
+    // catalog's _f64 codec names alone
     val res = fsstspark.pipeline.Compaction.compactColumn(
-      spark, io, "t", "score", minChunkBytes = 1L << 20, targetChunkBytes = 64L << 10,
-      isDouble = true)
+      spark, io, "t", "score", minChunkBytes = 1L << 20, targetChunkBytes = 64L << 10)
     assert(res.chunksCompacted == before)
     val after = io.readChunks(spark, "t").cache()
     assert(after.count() < before)
