@@ -68,7 +68,27 @@ object PlanDump {
       |data scan opens ONLY those files, with a pushable chunk_id IN filter
       |(PushedFilters) for parquet row-group min/max pruning inside them —
       |the data directory is never listed or footer-read in full (r2
-      |left-semi-joined a scan of the whole directory).""".stripMargin
+      |left-semi-joined a scan of the whole directory).""".stripMargin,
+    "pages_readback" -> """The read half of the rewrite story (decodeColumns):
+      |ONE Exchange moves COMPRESSED blobs (hash on chunk_id), one
+      |MapGroups decodes a chunk's four columns and zips them over the
+      |shared key order — column reassembly contributes ZERO joins (the
+      |per-column alternative shuffles N copies of the DECODED rows through
+      |N−1 equi-joins). The only join anywhere is the broadcast LeftSemi
+      |committed-batch visibility filter on catalog METADATA; row identity
+      |vs the source is checked by the DuckDB oracle, not re-joined here.""".stripMargin,
+    "q_zone_pruning" -> """Zone-map pruning is METADATA work: the manifest
+      |read resolves [value_min,value_max] intersections on the driver, so
+      |the chunk scan underneath the decode opens only the ~5% of files
+      |whose zone intersects the range (the plan's data scan is already
+      |pruned; no filter over the full table appears anywhere). Decode +
+      |range filter + two 1-row aggregates finish the job.""".stripMargin,
+    "q_dict_pushdown" -> """Structural predicate pushdown: encode →
+      |MapPartitions probe (dictionary membership decides per chunk; packed
+      |indices only touched on dict hits) → ONE partial/final aggregate
+      |pass over the per-chunk result frame. A single MapPartitions lineage
+      |— the encode runs once with nothing persisted (the r4-review shape:
+      |the earlier two-branch crossJoin double-ran the whole pipeline).""".stripMargin
   )
 
   def main(args: Array[String]): Unit = {
