@@ -696,6 +696,87 @@ object Queries {
       .orderBy("url") // compare-order only
   }
 
+  /** Pages read back through the DataSource V2 connector
+    * (`spark.read.format("fsst")`): same catalog as [[pagesReadback]],
+    * but the read side is the plain Spark SQL surface — schema inferred
+    * from the catalog (codec names are self-describing), byte columns
+    * surfaced as strings via the `stringColumns` option, zero fsstspark
+    * API calls after the write. Hash-matching the same oracle as
+    * `pages_readback` pins the connector path byte-identical to the
+    * typed [[EncodePipeline.decodeColumns]] path.
+    */
+  def dsv2Readback(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-readback-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val pages = pagesFromDocs(s, dir)
+    val specs = Seq(
+      EncodePipeline.ColSpec("url", encode(col("url"), "UTF-8")),
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("html", col("html")),
+      EncodePipeline.ColSpec("warc_ts", unix_micros(col("warc_ts")), isLong = true))
+    io.writeChunks(
+      EncodePipeline.encodeColumnsLocal(pages, col("url"), specs, 256L << 10), "pages")
+    s.read.format("fsst").option("root", root).option("table", "pages")
+      .option("stringColumns", "url,text").load()
+      .select(col("url"),
+        (col("url") === col("key")).as("url_matches_key"),
+        col("text"),
+        md5(col("html")).as("html_md5"),
+        col("warc_ts").as("ts_us"))
+      .orderBy("url") // compare-order only
+  }
+
+  /** Zone-map pushdown through the DataSource V2 connector: the same
+    * ts-bucket catalog as [[qZonePruning]], but both the pruning decision
+    * and the data path run through `spark.read.format("fsst")` — the
+    * range predicate is pushed into the scan, chunks prune at MANIFEST
+    * level inside the connector's planner, and the planned chunk/row
+    * counts are reproduced exactly in DuckDB from the bucket arithmetic
+    * (so a connector that stopped pruning, or pruned a live chunk, fails
+    * the hash compare).
+    */
+  def dsv2Pushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("dsv2-pushdown-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val W = 21600000000L // 6 h in micros — same buckets as q_zone_pruning
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("t"), col("event_id"))
+    val kv = ev.select(
+        concat(lpad(col("t").cast("string"), 20, "0"), lit("#"),
+          col("event_id").cast("string")).as("key"),
+        col("t").as("value")).as[LongKV]
+    val chunk = expr(s"cast(substring(key, 1, 20) as bigint) div $W")
+    io.writeChunks(EncodePipeline.encodeLongs(kv, "ts", chunk), "events")
+    val r = ev.agg(min("t"), max("t")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val lo = mn + (mx - mn) * 40 / 100 // pure long arithmetic (see qZonePruning)
+    val hi = mn + (mx - mn) * 45 / 100
+    val total = io.manifest(s, "events").filter(col("column") === "ts").count()
+    // the connector's own plan: chunks surviving the pushed range filter
+    val tbl = fsstspark.sources.FsstDataSource.resolve(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("root", root, "table", "events")))
+    val sb = new fsstspark.sources.FsstScanBuilder(root, "events", tbl.schema(), 8)
+    sb.pruneColumns(StructType(Seq(StructField("ts", LongType))))
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
+      org.apache.spark.sql.sources.LessThanOrEqual("ts", hi)))
+    val parts = sb.build().asInstanceOf[fsstspark.sources.FsstScan].planInputPartitions()
+      .map(_.asInstanceOf[fsstspark.sources.ChunkGroupPartition])
+    val chunksRead = parts.map(_.chunkIds.length.toLong).sum
+    val rowsDecoded = parts.map(_.nRows.sum).sum
+    // data through the public read path (Spark pushes the same filters)
+    s.read.format("fsst").option("root", root).option("table", "events").load()
+      .filter(col("ts").between(lo, hi))
+      .agg(count(lit(1)).as("n_match"), min("ts").as("min_t_match"),
+        max("ts").as("max_t_match"))
+      .select(lit(total).as("chunks_total"), lit(chunksRead).as("chunks_read"),
+        lit(rowsDecoded).as("rows_decoded"), col("n_match"),
+        col("min_t_match"), col("max_t_match"))
+  }
+
   /** Multimodal plumbing over the pages' binary html column: batched
     * feature extraction (deterministic fake decoder — see
     * [[fsstspark.textops.Multimodal]]) summarized per media type.

@@ -1,0 +1,653 @@
+package fsstspark.sources
+
+import java.util.OptionalLong
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import fsstspark.codec.{BytesCodec, LongCodec}
+import fsstspark.io.ParquetTableIO
+import fsstspark.pipeline.EncodePipeline
+import fsstspark.util.{Keys, SortableBits}
+
+/** DataSource V2 read connector over the chunk catalog: exposes a table
+  * written by [[fsstspark.pipeline.EncodePipeline.encodeColumns]] /
+  * `encodeColumnsLocal` + [[fsstspark.io.ParquetTableIO]] to plain
+  * `spark.read` / `spark.sql`, completing the "a user could switch"
+  * story — no fsstspark API calls needed to query an encoded table.
+  *
+  * {{{
+  *   spark.read.format("fsst")
+  *     .option("root", catalogRoot).option("table", "pages")
+  *     .option("stringColumns", "url,text")   // surface UTF-8 byte cols as string
+  *     .load()                                 // or .load(s"$catalogRoot/pages")
+  * }}}
+  *
+  * Output schema: `key string` + one column per stored column, typed from
+  * the catalog itself — chunk codec names are self-describing
+  * (`xor_f64` → double, a [[LongCodec.names]] name → long, a
+  * [[BytesCodec.names]] name → binary; the two name sets are disjoint).
+  *
+  * Scale shape (the reason this is not a parquet view):
+  *  - '''Column pruning is physical''': data files are partitioned by
+  *    `(batch, column)`, so a projection never opens the other columns'
+  *    files at all — checked by `DataSourceSpec`.
+  *  - '''Filter pushdown prunes chunks at METADATA level''': key
+  *    predicates test the manifest's `min_key`/`max_key` (UTF-8
+  *    code-point order, [[Keys.compareUtf8]] — the order the encode
+  *    pipeline records), value predicates test the zone maps
+  *    (`value_min`/`value_max`; doubles through the order-preserving
+  *    [[SortableBits.fromDouble]]). Surviving chunk ids become a parquet
+  *    record filter (`chunk_id IN …`) so row-group statistics prune
+  *    inside hit files too. Pruning is conservative (may keep a chunk
+  *    with no matching rows), so every filter is also returned as a
+  *    post-scan residual for Spark to re-evaluate — exactly the parquet
+  *    source's contract.
+  *  - '''Statistics''' ([[SupportsReportStatistics]]) come from manifest
+  *    sums over the surviving chunks, so Catalyst can pick broadcast
+  *    joins over small encoded tables.
+  *  - An empty projection (`count(*)`) is answered from manifest row
+  *    counts without opening any data file.
+  *
+  * Planning collects the pruned manifest hit list to the driver — the
+  * same metadata-sized collect as [[ParquetTableIO.chunksForKey]] (one
+  * row per surviving chunk × read column, no blobs). Committed-batch and
+  * tombstone filtering ride on [[ParquetTableIO.manifest]], so a torn or
+  * swapped-out batch is invisible here exactly as on the typed read path.
+  */
+final class FsstDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fsst"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FsstDataSource.resolve(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    FsstDataSource.resolve(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object FsstDataSource {
+  /** Open a catalog table: schema inference + option handling. Public —
+    * this is also the programmatic way to reach the scan planner (tests
+    * and the driver queries assert pruning through it). Byte columns are
+    * surfaced as StringType when listed in `stringColumns` (the encode
+    * side stored them via `encode(col, "UTF-8")`).
+    */
+  def resolve(options: CaseInsensitiveStringMap): FsstTable = {
+    val path = Option(options.get("path"))
+    val (root, table) = (Option(options.get("root")), Option(options.get("table"))) match {
+      case (Some(r), Some(t)) => (r, t)
+      case _ =>
+        val p = path.getOrElse(throw new IllegalArgumentException(
+          "fsst source needs options root+table, or a load(path) of form <root>/<table>"))
+        val cut = p.stripSuffix("/").lastIndexOf('/')
+        require(cut > 0, s"fsst load path '$p' has no <root>/<table> split")
+        (p.stripSuffix("/").substring(0, cut), p.stripSuffix("/").substring(cut + 1))
+    }
+    val stringCols = Option(options.get("stringColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val chunksPerPartition = Option(options.get("chunksPerPartition")).map(_.toInt).getOrElse(8)
+    require(chunksPerPartition > 0, "chunksPerPartition must be positive")
+
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(root)
+    require(io.tableExists(spark, table),
+      s"fsst table '$table' at '$root' has no committed chunks")
+    // one codec name per column suffices for typing: value KIND is constant
+    // per column (mixed byte/long codecs in one column is table corruption,
+    // which the reader's codec-id validation rejects loudly)
+    val cols = io.manifest(spark, table)
+      .groupBy("column").agg(org.apache.spark.sql.functions.first("codec").as("codec"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+    require(cols.nonEmpty, s"fsst table '$table' at '$root' has no committed chunks")
+    require(!cols.exists(_._1 == "key"), "stored column named 'key' collides with the key field")
+    val longNames = LongCodec.names.values.toSet
+    val fields = StructField("key", StringType, nullable = false) +: cols.map { case (name, codec) =>
+      val dt =
+        if (codec.endsWith(EncodePipeline.DoubleCodecSuffix)) DoubleType
+        else if (longNames.contains(codec)) LongType
+        else if (stringCols.contains(name)) StringType
+        else BinaryType
+      StructField(name, dt, nullable = true)
+    }
+    new FsstTable(root, table, StructType(fields), chunksPerPartition)
+  }
+}
+
+final class FsstTable(root: String, tableName: String, tableSchema: StructType,
+    chunksPerPartition: Int) extends Table with SupportsRead {
+  override def name(): String = s"fsst.`$root`.`$tableName`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition)
+}
+
+/** One pushed aggregate, reduced to what the manifest can answer:
+  * `COUNT(*)` = sum of chunk row counts; `MIN`/`MAX` over the key or a
+  * zone-mapped long/double column = fold of the chunk stats. Exact, not
+  * an estimate: zone maps store true min/max over non-null values (SQL
+  * MIN/MAX ignore nulls) and key ranges are true bounds in the same
+  * UTF-8 code-point order Spark compares strings in.
+  */
+private[sources] sealed trait AggSpec extends Serializable
+private[sources] case object CountStarSpec extends AggSpec
+private[sources] final case class MinMaxSpec(column: String, isMin: Boolean,
+    dataType: DataType) extends AggSpec
+
+final class FsstScanBuilder(root: String, table: String, tableSchema: StructType,
+    chunksPerPartition: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var agg: Option[(StructType, Array[AggSpec])] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // after an aggregate pushdown the read schema IS the agg schema;
+    // otherwise preserve our field order/types (Spark's set may reorder)
+    if (agg.isEmpty)
+      required = StructType(tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  /** Keep the filters usable for metadata pruning; hand EVERY filter back
+    * as a residual — chunk-granular pruning is conservative, so Spark
+    * must re-evaluate exactly (same split as the parquet source).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val longOrDouble = tableSchema.fields
+      .filter(f => f.dataType == LongType || f.dataType == DoubleType).map(_.name).toSet
+    sawFilters = filters.nonEmpty
+    pushed = filters.filter(FsstScan.prunable(_, longOrDouble))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** COUNT(*) / MIN / MAX answered entirely from the manifest — a
+    * full-table aggregate at 100 TB becomes a metadata read. Complete
+    * (exact) pushdown only: refused whenever any filter is present
+    * (Spark would not offer it then either — every filter of ours is a
+    * post-scan residual), the aggregation has group-bys, any function is
+    * something else, or a referenced column has a chunk without stats
+    * (all-null chunk or pre-stats writer — MIN/MAX would need the data).
+    */
+  private def aggSpecs(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+      Option[Array[AggSpec]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (sawFilters || aggregation.groupByExpressions.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          tableSchema.fields.find(_.name == nr.fieldNames()(0))
+        case _ => None
+      }
+    val specs: Array[Option[AggSpec]] = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(CountStarSpec)
+      case m: Min => colOf(m.column).collect {
+        case f if f.name == "key" || f.dataType == LongType || f.dataType == DoubleType =>
+          MinMaxSpec(f.name, isMin = true, f.dataType)
+      }
+      case m: Max => colOf(m.column).collect {
+        case f if f.name == "key" || f.dataType == LongType || f.dataType == DoubleType =>
+          MinMaxSpec(f.name, isMin = false, f.dataType)
+      }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None
+    else {
+      val flat = specs.map(_.get)
+      val statCols = flat.collect { case MinMaxSpec(c, _, _) if c != "key" => c }.distinct
+      if (statCols.isEmpty || statsComplete(statCols)) Some(flat) else None
+    }
+  }
+
+  /** Every chunk of every referenced column must carry zone stats, or the
+    * fold would silently drop an all-null/pre-stats chunk's contribution.
+    * One metadata-sized manifest read, memoized across the support/push
+    * call pair.
+    */
+  private lazy val statsCompleteCache = mutable.Map.empty[Seq[String], Boolean]
+  private def statsComplete(cols: Seq[String]): Boolean =
+    statsCompleteCache.getOrElseUpdate(cols.sorted, {
+      val io = new ParquetTableIO(root)
+      io.manifest(SparkSession.active, table)
+        .filter(org.apache.spark.sql.functions.col("column").isin(cols: _*))
+        .filter(org.apache.spark.sql.functions.col("value_min").isNull)
+        .isEmpty
+    })
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggSpecs(aggregation).isDefined
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggSpecs(aggregation) match {
+      case Some(specs) =>
+        val fields = specs.map {
+          case CountStarSpec => StructField("count(*)", LongType, nullable = false)
+          case MinMaxSpec(c, isMin, dt) =>
+            StructField(s"${if (isMin) "min" else "max"}($c)", dt, nullable = true)
+        }
+        agg = Some((StructType(fields.toSeq), specs))
+        true
+      case None => false
+    }
+
+  override def build(): Scan =
+    new FsstScan(root, table, tableSchema, required, pushed, chunksPerPartition, agg)
+}
+
+/** One fetched column of a partition: every chunk in the group has its
+  * (key_blob, value_blob) row for `column` inside `file`.
+  */
+final case class ColFile(column: String, file: String)
+
+/** A group of chunks sharing one data file per fetched column. `nRows`
+  * aligns with `chunkIds` (manifest row counts — the metadata-only
+  * `count(*)` path).
+  */
+final case class ChunkGroupPartition(chunkIds: Array[Long], nRows: Array[Long],
+    colFiles: Array[ColFile]) extends InputPartition
+
+/** The single row of a fully-pushed aggregate, computed on the driver
+  * from the manifest. Values are plain JVM types (String for key
+  * bounds — converted to UTF8String in the reader).
+  */
+final case class AggRowPartition(values: Array[Any]) extends InputPartition
+
+final class FsstScan(root: String, table: String, tableSchema: StructType,
+    required: StructType, filters: Array[Filter], chunksPerPartition: Int,
+    agg: Option[(StructType, Array[AggSpec])] = None)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val fs = if (filters.isEmpty) "" else filters.mkString(" PrunedBy: [", ", ", "]")
+    val ag = agg.map(a => s" PushedAggregates: [${a._1.fieldNames.mkString(",")}]").getOrElse("")
+    s"FsstScan $root/$table cols=[${readSchema().fieldNames.mkString(",")}]$fs$ag"
+  }
+
+  /** Aggregate mode: fold the manifest stats into the one result row —
+    * no data file is ever opened. Exactness argument: COUNT(*) sums
+    * n_rows (nulls included, as SQL counts them) over one column's
+    * chunks (every chunk carries each row exactly once per column); MIN/
+    * MAX over the key fold the true per-chunk key bounds in the same
+    * UTF-8 code-point order Spark compares strings in; MIN/MAX over a
+    * long/double column fold true non-null bounds (SQL MIN/MAX ignore
+    * nulls), doubles through the order-preserving SortableBits map —
+    * and the builder refused the pushdown if ANY chunk lacked stats.
+    */
+  private def aggRow(specs: Array[AggSpec]): Array[Any] = {
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(root)
+    val anchor = tableSchema.fields(1).name
+    val cols = (specs.collect { case MinMaxSpec(c, _, _) if c != "key" => c } :+ anchor).distinct
+    val m = io.manifest(spark, table)
+      .filter(org.apache.spark.sql.functions.col("column").isin(cols: _*))
+      .select("column", "n_rows", "min_key", "max_key", "value_min", "value_max")
+      .collect()
+    specs.map {
+      case CountStarSpec =>
+        java.lang.Long.valueOf(m.filter(_.getString(0) == anchor).map(_.getLong(1)).sum)
+      case MinMaxSpec("key", isMin, _) =>
+        val anchorRows = m.filter(_.getString(0) == anchor)
+        if (anchorRows.isEmpty) null
+        else if (isMin) anchorRows.map(_.getString(2)).reduce((a, b) => if (Keys.lessUtf8(a, b)) a else b)
+        else anchorRows.map(_.getString(3)).reduce((a, b) => if (Keys.lessUtf8(a, b)) b else a)
+      case MinMaxSpec(c, isMin, dt) =>
+        val stats = m.filter(r => r.getString(0) == c && !r.isNullAt(4))
+          .map(r => if (isMin) r.getLong(4) else r.getLong(5))
+        if (stats.isEmpty) null
+        else {
+          val v = if (isMin) stats.min else stats.max
+          if (dt == DoubleType) java.lang.Double.valueOf(SortableBits.toDouble(v))
+          else java.lang.Long.valueOf(v)
+        }
+    }
+  }
+
+  /** Value columns to fetch: the projected ones, or (key/count-only scans)
+    * the first stored column as the key/row anchor. An EMPTY projection
+    * fetches nothing — rows come from manifest counts.
+    */
+  private def fetchColumns: Seq[String] = {
+    val value = required.fieldNames.filter(_ != "key").toSeq
+    if (value.nonEmpty) value
+    else if (required.fieldNames.contains("key")) Seq(tableSchema.fields(1).name)
+    else Seq.empty
+  }
+
+  /** Driver-side plan: prune the manifest with the pushed filters, then
+    * group surviving chunks by their per-column file tuple. Cached — both
+    * `estimateStatistics` and `planInputPartitions` use it.
+    */
+  private lazy val plan: (Array[ChunkGroupPartition], Long, Long) = {
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(root)
+    val fetch = fetchColumns
+    val doubleCols = tableSchema.fields.filter(_.dataType == DoubleType).map(_.name).toSet
+    // stats columns: every filtered long/double column, even if not projected
+    val statCols = filters.flatMap(FsstScan.references).filter(c =>
+      tableSchema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == DoubleType))).toSet
+    val needed = (fetch ++ statCols).distinct
+    if (needed.isEmpty) {
+      // empty projection with no value filters: count rows straight off the
+      // manifest (any single column counts each chunk's rows exactly once)
+      val anchor = tableSchema.fields(1).name
+      val rows = io.manifest(spark, table)
+        .filter(org.apache.spark.sql.functions.col("column") === anchor)
+        .select("chunk_id", "n_rows", "min_key", "max_key")
+        .collect()
+        .filter(r => FsstScan.keySurvives(r.getString(2), r.getString(3), filters))
+      val parts = rows.grouped(chunksPerPartition).map { g =>
+        ChunkGroupPartition(g.map(_.getLong(0)), g.map(_.getLong(1)), Array.empty)
+      }.toArray
+      (parts, rows.map(_.getLong(1)).sum, 0L)
+    } else {
+      val m = io.manifest(spark, table)
+        .filter(org.apache.spark.sql.functions.col("column").isin(needed: _*))
+        .select("file", "column", "chunk_id", "n_rows", "bytes_out",
+          "min_key", "max_key", "value_min", "value_max")
+        .collect()
+      // chunk_id -> per-column manifest rows
+      val byChunk = m.groupBy(_.getLong(2))
+      val survivors = byChunk.filter { case (_, rows) =>
+        val r0 = rows(0)
+        FsstScan.keySurvives(r0.getString(5), r0.getString(6), filters) &&
+          rows.forall { r =>
+            val colName = r.getString(1)
+            val lo = if (r.isNullAt(7)) None else Some(r.getLong(7))
+            val hi = if (r.isNullAt(8)) None else Some(r.getLong(8))
+            FsstScan.valueSurvives(colName, lo, hi, doubleCols.contains(colName), filters)
+          }
+      }
+      val groups = mutable.LinkedHashMap.empty[Seq[String], mutable.ArrayBuffer[(Long, Long)]]
+      var totalRows = 0L
+      var totalBytes = 0L
+      survivors.toArray.sortBy(_._1).foreach { case (cid, rows) =>
+        val fileOf = rows.map(r => r.getString(1) -> r.getString(0)).toMap
+        fetch.foreach(c => require(fileOf.contains(c),
+          s"chunk $cid of table '$table' is missing column '$c' in the manifest"))
+        val tuple = fetch.map(fileOf)
+        groups.getOrElseUpdate(tuple, mutable.ArrayBuffer.empty) += ((cid, rows(0).getLong(3)))
+        totalRows += rows(0).getLong(3)
+        totalBytes += rows.filter(r => fetch.contains(r.getString(1))).map(_.getLong(4)).sum
+      }
+      val parts = groups.iterator.flatMap { case (files, chunks) =>
+        chunks.grouped(chunksPerPartition).map { g =>
+          ChunkGroupPartition(g.map(_._1).toArray, g.map(_._2).toArray,
+            fetch.zip(files).map { case (c, f) => ColFile(c, f) }.toArray)
+        }
+      }.toArray
+      (parts, totalRows, totalBytes)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case Some((_, specs)) => Array(AggRowPartition(aggRow(specs)))
+    case None => plan._1.asInstanceOf[Array[InputPartition]]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    new FsstReaderFactory(readSchema(), conf)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(if (agg.isDefined) 64L else math.max(plan._3, 1L))
+    override def numRows(): OptionalLong =
+      OptionalLong.of(if (agg.isDefined) 1L else plan._2)
+  }
+}
+
+private[sources] object FsstScan {
+  /** Filters this source can use for chunk pruning. */
+  def prunable(f: Filter, longOrDouble: Set[String]): Boolean = f match {
+    case EqualTo(a, _) => a == "key" || longOrDouble.contains(a)
+    case GreaterThan(a, _) => a == "key" || longOrDouble.contains(a)
+    case GreaterThanOrEqual(a, _) => a == "key" || longOrDouble.contains(a)
+    case LessThan(a, _) => a == "key" || longOrDouble.contains(a)
+    case LessThanOrEqual(a, _) => a == "key" || longOrDouble.contains(a)
+    case In(a, vs) => (a == "key" || longOrDouble.contains(a)) && vs.nonEmpty
+    case _ => false
+  }
+
+  def references(f: Filter): Seq[String] = f match {
+    case EqualTo(a, _) => Seq(a)
+    case GreaterThan(a, _) => Seq(a)
+    case GreaterThanOrEqual(a, _) => Seq(a)
+    case LessThan(a, _) => Seq(a)
+    case LessThanOrEqual(a, _) => Seq(a)
+    case In(a, _) => Seq(a)
+    case _ => Seq.empty
+  }
+
+  /** Key-range pruning in the catalog's key order ([[Keys.compareUtf8]] =
+    * UTF8String binary order — matches what the encode side recorded).
+    */
+  def keySurvives(minKey: String, maxKey: String, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("key", v: String) =>
+        Keys.compareUtf8(minKey, v) <= 0 && Keys.compareUtf8(maxKey, v) >= 0
+      case GreaterThan("key", v: String) => Keys.compareUtf8(maxKey, v) > 0
+      case GreaterThanOrEqual("key", v: String) => Keys.compareUtf8(maxKey, v) >= 0
+      case LessThan("key", v: String) => Keys.compareUtf8(minKey, v) < 0
+      case LessThanOrEqual("key", v: String) => Keys.compareUtf8(minKey, v) <= 0
+      case In("key", vs) => vs.exists {
+        case v: String => Keys.compareUtf8(minKey, v) <= 0 && Keys.compareUtf8(maxKey, v) >= 0
+        case _ => true
+      }
+      case _ => true
+    }
+
+  /** Long-space filter value: integral widens; doubles go through the same
+    * order-preserving [[SortableBits.fromDouble]] the zone maps used at
+    * encode time, so range tests transfer exactly. Non-numeric → None
+    * (not prunable on this column).
+    */
+  private def longSpace(v: Any, isDouble: Boolean): Option[Long] = v match {
+    case null => None
+    case l: Long => Some(if (isDouble) SortableBits.fromDouble(l.toDouble) else l)
+    case i: Int => Some(if (isDouble) SortableBits.fromDouble(i.toDouble) else i.toLong)
+    case s: Short => Some(if (isDouble) SortableBits.fromDouble(s.toDouble) else s.toLong)
+    case b: Byte => Some(if (isDouble) SortableBits.fromDouble(b.toDouble) else b.toLong)
+    case d: Double => if (isDouble) Some(SortableBits.fromDouble(d)) else None
+    case f: Float => if (isDouble) Some(SortableBits.fromDouble(f.toDouble)) else None
+    case _ => None
+  }
+
+  /** Zone-map pruning for one column's stats. `None` stats (byte column,
+    * all-null chunk, pre-stats writer) are conservatively kept.
+    */
+  def valueSurvives(column: String, lo: Option[Long], hi: Option[Long],
+      isDouble: Boolean, filters: Array[Filter]): Boolean =
+    (lo, hi) match {
+      case (Some(mn), Some(mx)) => filters.forall {
+        case EqualTo(`column`, v) => longSpace(v, isDouble).forall(x => mn <= x && mx >= x)
+        case GreaterThan(`column`, v) => longSpace(v, isDouble).forall(x => mx > x)
+        case GreaterThanOrEqual(`column`, v) => longSpace(v, isDouble).forall(x => mx >= x)
+        case LessThan(`column`, v) => longSpace(v, isDouble).forall(x => mn < x)
+        case LessThanOrEqual(`column`, v) => longSpace(v, isDouble).forall(x => mn <= x)
+        case In(`column`, vs) =>
+          vs.exists(v => longSpace(v, isDouble).forall(x => mn <= x && mx >= x))
+        case _ => true
+      }
+      case _ => true
+    }
+}
+
+final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case AggRowPartition(values) => new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = { val r = !done; done = true; r }
+        override def get(): InternalRow = new GenericInternalRow(values.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+        override def close(): Unit = ()
+      }
+      case p: ChunkGroupPartition => new ChunkGroupReader(schema, p, conf.value)
+    }
+}
+
+/** Reads one chunk group: per fetched column, the chunks' blob rows come
+  * out of ONE parquet file (projection = 3 fields, `chunk_id IN` record
+  * filter so row-group stats skip other chunks); each chunk then decodes
+  * once per column and zips back into rows under the same key-blob
+  * identity guard as [[EncodePipeline.decodeColumns]]. Memory is bounded
+  * by chunksPerPartition × nCols × chunk size, not file size.
+  */
+final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+
+  private val fields = schema.fields
+  private val rows: Iterator[InternalRow] =
+    if (fields.isEmpty) {
+      // Long-counted: a partition can legally hold > Int.MaxValue rows
+      // (chunksPerPartition × MaxChunkRows) and .toInt would truncate
+      val total = part.nRows.sum
+      new Iterator[InternalRow] {
+        private var i = 0L
+        override def hasNext: Boolean = i < total
+        override def next(): InternalRow = { i += 1; new GenericInternalRow(0) }
+      }
+    } else if (part.colFiles.isEmpty) Iterator.empty // projection needs columns but none planned
+    else chunkRows()
+
+  private def loadColumn(cf: ColFile): java.util.HashMap[java.lang.Long, (Array[Byte], Array[Byte])] = {
+    val c = new Configuration(conf)
+    // repetition mirrors the Spark writer: primitive Long → required,
+    // Array[Byte] → optional (parquet projection checks repetition exactly)
+    c.set(ReadSupport.PARQUET_READ_SCHEMA,
+      "message proj { required int64 chunk_id; optional binary key_blob; optional binary value_blob; }")
+    val ids = part.chunkIds.map(java.lang.Long.valueOf).toSet.asJava
+    val pred = FilterApi.in(FilterApi.longColumn("chunk_id"), new java.util.HashSet(ids))
+    val reader = ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(cf.file))
+      .withConf(c).withFilter(FilterCompat.get(pred)).build()
+    val out = new java.util.HashMap[java.lang.Long, (Array[Byte], Array[Byte])]()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val cid = g.getLong("chunk_id", 0)
+        require(out.put(cid, (g.getBinary("key_blob", 0).getBytes,
+          g.getBinary("value_blob", 0).getBytes)) == null,
+          s"file ${cf.file}: duplicate chunk $cid for column ${cf.column}")
+        g = reader.read()
+      }
+    } finally reader.close()
+    out
+  }
+
+  private def chunkRows(): Iterator[InternalRow] = {
+    val byCol = part.colFiles.map(cf => cf.column -> loadColumn(cf)).toMap
+    val wantKey = fields.exists(_.name == "key")
+    // field -> source: -1 = key, else index into colFiles order
+    val colOf = part.colFiles.map(_.column).zipWithIndex.toMap
+    part.chunkIds.iterator.flatMap { cid =>
+      val blobs = part.colFiles.map { cf =>
+        val b = byCol(cf.column).get(cid)
+        require(b != null, s"chunk $cid: no row for column ${cf.column} in ${cf.file}")
+        b
+      }
+      val first = blobs(0)
+      blobs.foreach { b =>
+        require(java.util.Arrays.equals(b._1, first._1),
+          s"chunk $cid: key blobs differ across columns — mixed chunkings")
+      }
+      // decode each fetched column once
+      val decodedBytes = new Array[Array[Array[Byte]]](blobs.length)
+      val decodedLongs = new Array[LongCodec.LongColumn](blobs.length)
+      var n = -1
+      fields.foreach { f =>
+        if (f.name != "key") {
+          val i = colOf(f.name)
+          if (f.dataType == LongType || f.dataType == DoubleType) {
+            val c = LongCodec.decode(blobs(i)._2)
+            decodedLongs(i) = c
+            require(n < 0 || n == c.n, s"chunk $cid: column ${f.name} row count mismatch")
+            n = c.n
+          } else {
+            val v = BytesCodec.decode(blobs(i)._2)
+            decodedBytes(i) = v
+            require(n < 0 || n == v.length, s"chunk $cid: column ${f.name} row count mismatch")
+            n = v.length
+          }
+        }
+      }
+      val keys: Array[Array[Byte]] = if (wantKey) {
+        val k = BytesCodec.decode(first._1)
+        require(n < 0 || n == k.length, s"chunk $cid: key/value row count mismatch")
+        n = k.length
+        k
+      } else null
+      if (n < 0) n = BytesCodec.decode(first._1).length // key-anchored empty projection
+      Iterator.tabulate(n) { ri =>
+        val arr = new Array[Any](fields.length)
+        var fi = 0
+        while (fi < fields.length) {
+          val f = fields(fi)
+          arr(fi) =
+            if (f.name == "key") UTF8String.fromBytes(keys(ri))
+            else {
+              val i = colOf(f.name)
+              f.dataType match {
+                case LongType =>
+                  val c = decodedLongs(i)
+                  if (c.nulls(ri)) null else c.values(ri)
+                case DoubleType =>
+                  val c = decodedLongs(i)
+                  if (c.nulls(ri)) null else java.lang.Double.longBitsToDouble(c.values(ri))
+                case StringType =>
+                  val b = decodedBytes(i)(ri)
+                  if (b == null) null else UTF8String.fromBytes(b)
+                case _ =>
+                  decodedBytes(i)(ri)
+              }
+            }
+          fi += 1
+        }
+        new GenericInternalRow(arr)
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -83,6 +83,21 @@ object PlanDump {
       |whose zone intersects the range (the plan's data scan is already
       |pruned; no filter over the full table appears anywhere). Decode +
       |range filter + two 1-row aggregates finish the job.""".stripMargin,
+    "dsv2_readback" -> """The DataSource V2 connector read: a BatchScan over
+      |the chunk catalog (schema inferred from manifest codec names). Each
+      |InputPartition is a chunk group; the reader opens ONLY the projected
+      |columns' files (data is partitioned by column, so projection =
+      |physical file skipping), decodes each chunk once per column, and
+      |zips rows inside the reader — column reassembly contributes zero
+      |joins and zero exchanges; the only shuffle is the compare-order
+      |sort.""".stripMargin,
+    "dsv2_pushdown" -> """Connector zone-map pushdown: the ts range predicate
+      |reaches the scan as a pushed filter, the connector's planner prunes
+      |chunks against manifest [value_min,value_max] on the driver, and the
+      |BatchScan's partitions already hold ONLY the ~5% surviving chunks
+      |(the oracle reproduces the planned chunk/row counts from the bucket
+      |arithmetic). Spark re-applies the filter as a residual — pruning is
+      |chunk-granular, correctness row-granular.""".stripMargin,
     "q_dict_pushdown" -> """Structural predicate pushdown: encode →
       |MapPartitions probe (dictionary membership decides per chunk; packed
       |indices only touched on dict hits) → ONE partial/final aggregate

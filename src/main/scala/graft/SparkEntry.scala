@@ -65,6 +65,9 @@ object SparkEntry {
     "pages_pipeline" -> (Queries.pagesPipeline _),
     "pages_local_pipeline" -> (Queries.pagesLocalPipeline _),
     "pages_readback" -> (Queries.pagesReadback _),
+    // DataSource V2 connector: plain spark.read over the chunk catalog
+    "dsv2_readback" -> (Queries.dsv2Readback _),
+    "dsv2_pushdown" -> (Queries.dsv2Pushdown _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -143,6 +146,32 @@ object SparkEntry {
     // zone-map pruning: chunk = 6h ts bucket; the hit set (chunks whose
     // per-bucket min/max ts intersects the 40%..45%-of-span range) and the
     // rows decoded from it must reproduce exactly from the bucket function
+    // the DSv2 connector read path must be byte-identical to the typed
+    // decodeColumns path — same oracle as pages_readback
+    "dsv2_readback" ->
+      """SELECT 'https://' || source || '/doc/' || doc_id AS url,
+         true AS url_matches_key,
+         text,
+         md5('<html><body><h1>https://' || source || '/doc/' || doc_id ||
+           '</h1><p>' || text || '</p></body></html>') AS html_md5,
+         CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts_us
+         FROM documents ORDER BY url""",
+    // connector zone-map pushdown: same bucket arithmetic as q_zone_pruning
+    "dsv2_pushdown" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+         m AS (SELECT min(t) AS mn, max(t) AS mx FROM e),
+         b AS (SELECT mn + (mx - mn) * 40 // 100 AS lo,
+                      mn + (mx - mn) * 45 // 100 AS hi FROM m),
+         c AS (SELECT t // 21600000000 AS bk, min(t) AS cmn, max(t) AS cmx,
+                      count(*) AS cnt FROM e GROUP BY 1),
+         h AS (SELECT c.cnt FROM c, b WHERE c.cmn <= b.hi AND c.cmx >= b.lo)
+         SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS chunks_total,
+                CAST((SELECT count(*) FROM h) AS BIGINT) AS chunks_read,
+                CAST((SELECT sum(cnt) FROM h) AS BIGINT) AS rows_decoded,
+                CAST(count(*) AS BIGINT) AS n_match,
+                CAST(min(t) AS BIGINT) AS min_t_match,
+                CAST(max(t) AS BIGINT) AS max_t_match
+         FROM e, b WHERE t >= b.lo AND t <= b.hi""",
     "q_zone_pruning" ->
       """WITH e AS (SELECT epoch_us(ts) AS t FROM events),
          m AS (SELECT min(t) AS mn, max(t) AS mx FROM e),

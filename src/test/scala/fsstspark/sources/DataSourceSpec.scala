@@ -1,0 +1,254 @@
+package fsstspark.sources
+
+import fsstspark.io.ParquetTableIO
+import fsstspark.pipeline.EncodePipeline
+import fsstspark.pipeline.EncodePipeline.ColSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("fsstspark-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Pages-shaped fixture with every surfaced type: string key, string +
+    * binary byte columns, a long, and a double with planted nulls.
+    */
+  private def pagesDf: DataFrame = {
+    spark.read.parquet(s"$sf/documents.parquet").select(
+      concat(lit("https://"), col("source"), lit("/doc/"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+      col("text"),
+      encode(concat(lit("<html>"), col("text"), lit("</html>")), "UTF-8").as("html"),
+      (col("doc_id") * 1000L).as("ts"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("n_chars") / lit(3.0)).as("score"))
+  }
+
+  private val pageSpecs = Seq(
+    ColSpec("text", encode(col("text"), "UTF-8")),
+    ColSpec("html", col("html")),
+    ColSpec("ts", col("ts"), isLong = true),
+    ColSpec("score", col("score"), isDouble = true))
+
+  private def writeTable(df: DataFrame, root: String, table: String,
+      chunkBytes: Long = 64L << 10): ParquetTableIO = {
+    val io = new ParquetTableIO(root)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, chunkBytes), table)
+    io
+  }
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("dsv2-spec").toString
+
+  test("format(fsst) round-trips all column types through plain spark.read") {
+    val root = freshRoot()
+    val df = pagesDf
+    writeTable(df, root, "pages")
+    val got = spark.read.format("fsst")
+      .option("root", root).option("table", "pages")
+      .option("stringColumns", "text").load()
+    // schema: key first, stored columns sorted, types from codec names
+    assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("key", StringType), ("html", BinaryType), ("score", DoubleType),
+      ("text", StringType), ("ts", LongType)))
+    val joined = df.join(got, df("url") === got("key"), "full_outer")
+    assert(joined.filter(col("url").isNull || col("key").isNull).count() == 0)
+    val bad = joined.filter(
+      !(df("text") <=> got("text")) || !(df("html") <=> got("html")) ||
+        !(df("ts") <=> got("ts")) || !(df("score") <=> got("score"))).count()
+    assert(bad == 0, "round-trip mismatch through the DSv2 reader")
+    assert(got.count() == df.count())
+  }
+
+  test("load(path) splits root/table; missing table fails loudly") {
+    val root = freshRoot()
+    writeTable(pagesDf, root, "pages")
+    assert(spark.read.format("fsst").option("stringColumns", "text")
+      .load(s"$root/pages").count() == pagesDf.count())
+    val e = intercept[Exception] {
+      spark.read.format("fsst").option("root", root).option("table", "nope").load()
+    }
+    assert(e.getMessage.contains("no committed chunks"))
+  }
+
+  test("column pruning plans only the projected columns' files") {
+    val root = freshRoot()
+    writeTable(pagesDf, root, "pages")
+    val tbl = FsstDataSource.resolve(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root, "table", "pages")))
+    val sb = new FsstScanBuilder(root, "pages", tbl.schema(), 8)
+    sb.pruneColumns(StructType(Seq(StructField("text", BinaryType))))
+    val parts = sb.build().asInstanceOf[FsstScan].planInputPartitions()
+    assert(parts.nonEmpty)
+    val files = parts.flatMap(_.asInstanceOf[ChunkGroupPartition].colFiles.map(_.file))
+    assert(files.forall(_.contains("column=text")), s"non-text files planned: ${files.toSeq}")
+    // and the projected read is still correct
+    val texts = spark.read.format("fsst").option("root", root).option("table", "pages")
+      .option("stringColumns", "text").load().select("text")
+    assert(texts.distinct().count() == pagesDf.select("text").distinct().count())
+  }
+
+  test("key filters prune chunks at manifest level (sorted table, disjoint ranges)") {
+    val root = freshRoot()
+    val df = pagesDf.orderBy("url").coalesce(1)
+    writeTable(df, root, "sorted", chunkBytes = 4L << 10) // many small chunks
+    val tbl = FsstDataSource.resolve(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root, "table", "sorted")))
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new FsstScanBuilder(root, "sorted", tbl.schema(), 8)
+      sb.pruneColumns(StructType(Seq(StructField("key", StringType), StructField("ts", LongType))))
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[FsstScan].planInputPartitions()
+        .map(_.asInstanceOf[ChunkGroupPartition].chunkIds.length).sum
+    }
+    val total = planned(Array.empty)
+    assert(total > 3, s"fixture too small: only $total chunks")
+    val someUrl = df.select("url").collect()(total / 2).getString(0)
+    val one = planned(Array(EqualTo("key", someUrl)))
+    assert(one >= 1 && one < total, s"key EqualTo pruned $one of $total")
+    // the pruned read still finds the row
+    val got = spark.read.format("fsst").option("root", root).option("table", "sorted").load()
+      .filter(col("key") === someUrl)
+    assert(got.count() == 1)
+  }
+
+  test("zone maps prune long-range filters; doubles prune through SortableBits") {
+    val root = freshRoot()
+    val df = pagesDf.orderBy("ts").coalesce(1)
+    writeTable(df, root, "byts", chunkBytes = 4L << 10)
+    val tbl = FsstDataSource.resolve(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root, "table", "byts")))
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new FsstScanBuilder(root, "byts", tbl.schema(), 8)
+      sb.pruneColumns(StructType(Seq(StructField("ts", LongType))))
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[FsstScan].planInputPartitions()
+        .map(_.asInstanceOf[ChunkGroupPartition].chunkIds.length).sum
+    }
+    val total = planned(Array.empty)
+    assert(total > 3, s"fixture too small: only $total chunks")
+    val bounds = df.agg(min("ts"), max("ts")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val narrow = planned(Array(
+      GreaterThanOrEqual("ts", mid), LessThanOrEqual("ts", mid + (hi - lo) / 10)))
+    assert(narrow < total, s"ts range pruned nothing: $narrow of $total")
+    // result through the full DataFrame path matches a plain filter
+    val got = spark.read.format("fsst").option("root", root).option("table", "byts").load()
+      .filter(col("ts") >= mid && col("ts") <= mid + (hi - lo) / 10)
+      .agg(count(lit(1)), sum("ts")).collect()(0)
+    val want = df.filter(col("ts") >= mid && col("ts") <= mid + (hi - lo) / 10)
+      .agg(count(lit(1)), sum("ts")).collect()(0)
+    assert(got == want)
+    // double zone maps: a score threshold above the max prunes everything
+    val maxScore = df.agg(max("score")).collect()(0).getDouble(0)
+    val sbD = new FsstScanBuilder(root, "byts", tbl.schema(), 8)
+    sbD.pruneColumns(StructType(Seq(StructField("score", DoubleType))))
+    sbD.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("score", maxScore + 1.0)))
+    val prunedAll = sbD.build().asInstanceOf[FsstScan].planInputPartitions()
+      .map(_.asInstanceOf[ChunkGroupPartition].chunkIds.length).sum
+    assert(prunedAll == 0, s"score > max should prune every chunk, planned $prunedAll")
+  }
+
+  test("count(*) is answered from manifest row counts (no column files opened)") {
+    val root = freshRoot()
+    val df = pagesDf
+    writeTable(df, root, "pages")
+    val got = spark.read.format("fsst").option("root", root).option("table", "pages").load()
+    assert(got.count() == df.count())
+    // empty projection plans no column files at all
+    val tbl = FsstDataSource.resolve(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root, "table", "pages")))
+    val sb = new FsstScanBuilder(root, "pages", tbl.schema(), 8)
+    sb.pruneColumns(StructType(Seq.empty))
+    val parts = sb.build().asInstanceOf[FsstScan].planInputPartitions()
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.asInstanceOf[ChunkGroupPartition].colFiles.isEmpty))
+    assert(parts.map(_.asInstanceOf[ChunkGroupPartition].nRows.sum).sum == df.count())
+  }
+
+  test("SQL over a temp view: pushdown + aggregation through spark.sql") {
+    val root = freshRoot()
+    val df = pagesDf
+    writeTable(df, root, "pages")
+    spark.read.format("fsst").option("root", root).option("table", "pages")
+      .option("stringColumns", "text").load().createOrReplaceTempView("fsst_pages")
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(ts) AS s FROM fsst_pages WHERE ts >= 0").collect()(0)
+    assert(got.getLong(0) == df.count())
+    assert(got.getLong(1) == df.agg(sum("ts")).collect()(0).getLong(0))
+    // key point lookup through SQL
+    val k = df.select("url").orderBy("url").collect()(0).getString(0)
+    assert(spark.sql(s"SELECT text FROM fsst_pages WHERE key = '$k'").count() == 1)
+  }
+
+  test("COUNT/MIN/MAX push down to the manifest and the plan shows it") {
+    val root = freshRoot()
+    val df = pagesDf
+    writeTable(df, root, "pages")
+    val got = spark.read.format("fsst").option("root", root).option("table", "pages").load()
+    val r = got.agg(count(lit(1)), min("ts"), max("ts"), min("key"), max("key"),
+      min("score"), max("score")).collect()(0)
+    val want = df.agg(count(lit(1)), min("ts"), max("ts"), min("url"), max("url"),
+      min("score"), max("score")).collect()(0)
+    assert(r == want, s"pushed aggregate row $r != $want")
+    // the physical plan carries the pushed aggregates (no chunk decode)
+    val planStr = got.agg(min("ts"), max("score")).queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedAggregates"), s"no aggregate pushdown in plan:\n$planStr")
+    // a filter blocks pushdown (our filters are always post-scan residuals)
+    // but the result stays correct through the row path
+    val f = got.filter(col("ts") >= 0).agg(max("ts")).collect()(0)
+    assert(f == df.filter(col("ts") >= 0).agg(max("ts")).collect()(0))
+    val planF = got.filter(col("ts") >= 0).agg(max("ts"))
+      .queryExecution.executedPlan.toString
+    assert(!planF.contains("PushedAggregates"), "aggregate must not push under a residual filter")
+  }
+
+  test("aggregate pushdown refused when a chunk lacks zone stats") {
+    val root = freshRoot()
+    // an ALL-NULL score chunk: orderBy puts the null-score docs together in
+    // one small chunk, whose zone stats are then None
+    val df = pagesDf.orderBy(col("score").asc_nulls_first).coalesce(1)
+    writeTable(df, root, "nulls", chunkBytes = 4L << 10)
+    val io = new ParquetTableIO(root)
+    val nullStat = io.manifest(spark, "nulls")
+      .filter(col("column") === "score" && col("value_min").isNull).count()
+    assert(nullStat > 0, "fixture should produce an all-null score chunk")
+    val got = spark.read.format("fsst").option("root", root).option("table", "nulls").load()
+    val planStr = got.agg(min("score")).queryExecution.executedPlan.toString
+    assert(!planStr.contains("PushedAggregates"), "must fall back when stats are incomplete")
+    // and the fallback row path is still exact
+    assert(got.agg(min("score"), max("score")).collect()(0) ==
+      df.agg(min("score"), max("score")).collect()(0))
+    // ts stats are complete on the same table → that aggregate still pushes
+    val planTs = got.agg(min("ts")).queryExecution.executedPlan.toString
+    assert(planTs.contains("PushedAggregates"))
+  }
+
+  test("tombstoned chunks are invisible to the connector") {
+    val root = freshRoot()
+    val df = pagesDf
+    val io = writeTable(df, root, "pages")
+    val before = spark.read.format("fsst").option("root", root).option("table", "pages").load().count()
+    assert(before == df.count())
+    // tombstone ONE chunk across all of its columns
+    val victim = io.manifest(spark, "pages").select("chunk_id").distinct()
+      .orderBy("chunk_id").limit(1)
+    val victimRows = io.manifest(spark, "pages")
+      .join(victim, Seq("chunk_id"), "left_semi")
+    val victimN = victimRows.filter(col("column") === "text")
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    io.removeChunks(spark, "pages", victimRows.select("chunk_id", "column"))
+    val after = spark.read.format("fsst").option("root", root).option("table", "pages").load().count()
+    assert(after == before - victimN, s"expected ${before - victimN} rows after tombstone, got $after")
+  }
+}
