@@ -737,7 +737,6 @@ object Queries {
     */
   def dsv2Pushdown(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val root = java.nio.file.Files.createTempDirectory("dsv2-pushdown-q").toString
     val io = new fsstspark.io.ParquetTableIO(root)
     val W = 21600000000L // 6 h in micros — same buckets as q_zone_pruning
@@ -754,27 +753,62 @@ object Queries {
     val lo = mn + (mx - mn) * 40 / 100 // pure long arithmetic (see qZonePruning)
     val hi = mn + (mx - mn) * 45 / 100
     val total = io.manifest(s, "events").filter(col("column") === "ts").count()
-    // the connector's own plan: chunks surviving the pushed range filter
-    val tbl = fsstspark.sources.FsstDataSource.resolve(
-      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Map.of("root", root, "table", "events")))
-    val sb = new fsstspark.sources.FsstScanBuilder(root, "events", tbl.schema(), 8)
-    sb.pruneColumns(StructType(Seq(StructField("ts", LongType))))
-    sb.pushFilters(Array(
-      org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
-      org.apache.spark.sql.sources.LessThanOrEqual("ts", hi)))
-    val parts = sb.build().asInstanceOf[fsstspark.sources.FsstScan].planInputPartitions()
-      .map(_.asInstanceOf[fsstspark.sources.ChunkGroupPartition])
+    // the PRODUCTION read path: Spark must push the range filter into the
+    // connector itself — chunks_read/rows_decoded come from the planned
+    // scan's own partitions, so a broken pushFilters wiring (filters never
+    // reaching the source) breaks the hash compare, not just performance
+    val filtered = s.read.format("fsst").option("root", root).option("table", "events").load()
+      .filter(col("ts").between(lo, hi))
+    val scanExec = filtered.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.headOption.getOrElse(throw new IllegalStateException(
+      "dsv2_pushdown: no BatchScanExec in the physical plan"))
+    val parts = scanExec.inputPartitions.collect {
+      case p: fsstspark.sources.ChunkGroupPartition => p
+    }
     val chunksRead = parts.map(_.chunkIds.length.toLong).sum
     val rowsDecoded = parts.map(_.nRows.sum).sum
-    // data through the public read path (Spark pushes the same filters)
-    s.read.format("fsst").option("root", root).option("table", "events").load()
-      .filter(col("ts").between(lo, hi))
+    filtered
       .agg(count(lit(1)).as("n_match"), min("ts").as("min_t_match"),
         max("ts").as("max_t_match"))
       .select(lit(total).as("chunks_total"), lit(chunksRead).as("chunks_read"),
         lit(rowsDecoded).as("rows_decoded"), col("n_match"),
         col("min_t_match"), col("max_t_match"))
+  }
+
+  /** Streaming read of the catalog through the connector
+    * (`spark.readStream.format("fsst")`): two appends land in the chunk
+    * catalog, one Trigger.AvailableNow run drains the commit log into a
+    * parquet sink (offset = committed batch watermark), and the sink is
+    * audited — every page delivered exactly once with its timestamp
+    * intact, fully DuckDB-oracled against `documents`.
+    */
+  def dsv2Streaming(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("dsv2-stream-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val pages = pagesFromDocs(s, dir)
+    val specs = Seq(
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("warc_ts", unix_micros(col("warc_ts")), isLong = true))
+    // two commits: the stream must deliver BOTH batches' rows exactly once
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(
+      pages.filter(col("doc_id") % 2 === 0), col("url"), specs, 128L << 10), "pages")
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(
+      pages.filter(col("doc_id") % 2 =!= 0), col("url"), specs, 128L << 10), "pages")
+    val out = s"$root/stream-out"
+    val q = s.readStream.format("fsst")
+      .option("root", root).option("table", "pages").option("stringColumns", "text").load()
+      .select("key", "text", "warc_ts")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$root/stream-ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("key")).as("n_keys"),
+      sum("warc_ts").as("sum_ts_us"),
+      sum(octet_length(encode(col("text"), "UTF-8"))).as("text_bytes"))
   }
 
   /** Multimodal plumbing over the pages' binary html column: batched

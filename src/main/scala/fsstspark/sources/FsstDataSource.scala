@@ -80,8 +80,16 @@ final class FsstDataSource extends TableProvider with DataSourceRegister {
     FsstDataSource.resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    FsstDataSource.resolve(new CaseInsensitiveStringMap(properties))
+      properties: java.util.Map[String, String]): Table = {
+    // Spark hands back inferSchema's result — build the table from it
+    // instead of re-running resolve's manifest jobs (and racing a batch
+    // commit between the two calls into a schema mismatch)
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (schema != null && schema.nonEmpty) {
+      val (root, table, _, cpp) = FsstDataSource.parseOptions(opts)
+      new FsstTable(root, table, schema, cpp)
+    } else FsstDataSource.resolve(opts)
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -93,7 +101,7 @@ object FsstDataSource {
     * surfaced as StringType when listed in `stringColumns` (the encode
     * side stored them via `encode(col, "UTF-8")`).
     */
-  def resolve(options: CaseInsensitiveStringMap): FsstTable = {
+  private[sources] def parseOptions(options: CaseInsensitiveStringMap): (String, String, Set[String], Int) = {
     val path = Option(options.get("path"))
     val (root, table) = (Option(options.get("root")), Option(options.get("table"))) match {
       case (Some(r), Some(t)) => (r, t)
@@ -108,7 +116,11 @@ object FsstDataSource {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
     val chunksPerPartition = Option(options.get("chunksPerPartition")).map(_.toInt).getOrElse(8)
     require(chunksPerPartition > 0, "chunksPerPartition must be positive")
+    (root, table, stringCols, chunksPerPartition)
+  }
 
+  def resolve(options: CaseInsensitiveStringMap): FsstTable = {
+    val (root, table, stringCols, chunksPerPartition) = parseOptions(options)
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
     require(io.tableExists(spark, table),
@@ -121,7 +133,9 @@ object FsstDataSource {
       .collect()
       .map(r => (r.getString(0), r.getString(1)))
       .sortBy(_._1)
-    require(cols.nonEmpty, s"fsst table '$table' at '$root' has no committed chunks")
+    // reachable even though tableExists passed: a catalog holding only
+    // data-less delete batches has commit markers but no manifest rows
+    require(cols.nonEmpty, s"fsst table '$table' at '$root' has no readable columns")
     require(!cols.exists(_._1 == "key"), "stored column named 'key' collides with the key field")
     val longNames = LongCodec.names.values.toSet
     val fields = StructField("key", StringType, nullable = false) +: cols.map { case (name, codec) =>
@@ -141,7 +155,7 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
   override def name(): String = s"fsst.`$root`.`$tableName`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition)
 }
@@ -270,10 +284,12 @@ final case class ColFile(column: String, file: String)
 
 /** A group of chunks sharing one data file per fetched column. `nRows`
   * aligns with `chunkIds` (manifest row counts — the metadata-only
-  * `count(*)` path).
+  * `count(*)` path). `readValues` = false for key-only scans: the reader
+  * then projects value_blob out of the parquet read entirely (the anchor
+  * column's compressed values are never pulled off disk).
   */
 final case class ChunkGroupPartition(chunkIds: Array[Long], nRows: Array[Long],
-    colFiles: Array[ColFile]) extends InputPartition
+    colFiles: Array[ColFile], readValues: Boolean = true) extends InputPartition
 
 /** The single row of a fully-pushed aggregate, computed on the driver
   * from the manifest. Values are plain JVM types (String for key
@@ -333,33 +349,25 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     }
   }
 
-  /** Value columns to fetch: the projected ones, or (key/count-only scans)
-    * the first stored column as the key/row anchor. An EMPTY projection
-    * fetches nothing — rows come from manifest counts.
-    */
-  private def fetchColumns: Seq[String] = {
-    val value = required.fieldNames.filter(_ != "key").toSeq
-    if (value.nonEmpty) value
-    else if (required.fieldNames.contains("key")) Seq(tableSchema.fields(1).name)
-    else Seq.empty
-  }
-
   /** Driver-side plan: prune the manifest with the pushed filters, then
-    * group surviving chunks by their per-column file tuple. Cached — both
-    * `estimateStatistics` and `planInputPartitions` use it.
+    * group surviving chunks by their per-column file tuple. Chunks group
+    * by (chunk_id, batch) — the batch parsed from the data file path — so
+    * a chunk id REUSED across append batches (hash-mode ids are bucket
+    * indexes in every batch) reads as the separate physical chunks it is;
+    * the typed decodeColumns path rejects that state, the connector
+    * serves it. Cached — `estimateStatistics` and `planInputPartitions`
+    * both use it.
     */
   private lazy val plan: (Array[ChunkGroupPartition], Long, Long) = {
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
-    val fetch = fetchColumns
-    val doubleCols = tableSchema.fields.filter(_.dataType == DoubleType).map(_.name).toSet
+    val valueFields = required.fieldNames.filter(_ != "key").toSeq
     // stats columns: every filtered long/double column, even if not projected
     val statCols = filters.flatMap(FsstScan.references).filter(c =>
       tableSchema.fields.exists(f => f.name == c &&
         (f.dataType == LongType || f.dataType == DoubleType))).toSet
-    val needed = (fetch ++ statCols).distinct
-    if (needed.isEmpty) {
-      // empty projection with no value filters: count rows straight off the
+    if (valueFields.isEmpty && statCols.isEmpty && !required.fieldNames.contains("key")) {
+      // empty projection, no value filters: count rows straight off the
       // manifest (any single column counts each chunk's rows exactly once)
       val anchor = tableSchema.fields(1).name
       val rows = io.manifest(spark, table)
@@ -372,42 +380,11 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       }.toArray
       (parts, rows.map(_.getLong(1)).sum, 0L)
     } else {
-      val m = io.manifest(spark, table)
-        .filter(org.apache.spark.sql.functions.col("column").isin(needed: _*))
+      val mAll = io.manifest(spark, table)
         .select("file", "column", "chunk_id", "n_rows", "bytes_out",
           "min_key", "max_key", "value_min", "value_max")
         .collect()
-      // chunk_id -> per-column manifest rows
-      val byChunk = m.groupBy(_.getLong(2))
-      val survivors = byChunk.filter { case (_, rows) =>
-        val r0 = rows(0)
-        FsstScan.keySurvives(r0.getString(5), r0.getString(6), filters) &&
-          rows.forall { r =>
-            val colName = r.getString(1)
-            val lo = if (r.isNullAt(7)) None else Some(r.getLong(7))
-            val hi = if (r.isNullAt(8)) None else Some(r.getLong(8))
-            FsstScan.valueSurvives(colName, lo, hi, doubleCols.contains(colName), filters)
-          }
-      }
-      val groups = mutable.LinkedHashMap.empty[Seq[String], mutable.ArrayBuffer[(Long, Long)]]
-      var totalRows = 0L
-      var totalBytes = 0L
-      survivors.toArray.sortBy(_._1).foreach { case (cid, rows) =>
-        val fileOf = rows.map(r => r.getString(1) -> r.getString(0)).toMap
-        fetch.foreach(c => require(fileOf.contains(c),
-          s"chunk $cid of table '$table' is missing column '$c' in the manifest"))
-        val tuple = fetch.map(fileOf)
-        groups.getOrElseUpdate(tuple, mutable.ArrayBuffer.empty) += ((cid, rows(0).getLong(3)))
-        totalRows += rows(0).getLong(3)
-        totalBytes += rows.filter(r => fetch.contains(r.getString(1))).map(_.getLong(4)).sum
-      }
-      val parts = groups.iterator.flatMap { case (files, chunks) =>
-        chunks.grouped(chunksPerPartition).map { g =>
-          ChunkGroupPartition(g.map(_._1).toArray, g.map(_._2).toArray,
-            fetch.zip(files).map { case (c, f) => ColFile(c, f) }.toArray)
-        }
-      }.toArray
-      (parts, totalRows, totalBytes)
+      FsstScan.planFromManifest(mAll, required, tableSchema, filters, chunksPerPartition, table)
     }
   }
 
@@ -428,9 +405,183 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     override def numRows(): OptionalLong =
       OptionalLong.of(if (agg.isDefined) 1L else plan._2)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FsstMicroBatchStream(root, table, tableSchema, required, filters, chunksPerPartition)
+}
+
+/** Stream offset = the greatest committed batch id included so far.
+  * Batch ids lead with fixed-width creation millis
+  * ([[ParquetTableIO]]), so lexicographic id order IS commit order and a
+  * plain string watermark totally orders the log. `""` = before
+  * everything.
+  */
+final case class FsstOffset(batch: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = batch
+}
+
+/** Streaming read of the catalog: `spark.readStream.format("fsst")`.
+  *
+  * The catalog's commit log IS the source-of-truth offset sequence —
+  * each micro-batch emits exactly the rows of batches committed in
+  * `(start, end]`, planned from [[fsstspark.io.TableIO.manifestForBatches]]
+  * (directory-pruned to the new batches; the manifest is partitioned by
+  * batch, so per-micro-batch planning cost is O(new batches), never
+  * O(table)). Combined with [[fsstspark.streaming.StreamingEncode.startCatalog]]
+  * on the write side this gives an end-to-end streaming pipeline through
+  * the encoded catalog.
+  *
+  * Semantics: an APPEND LOG of the catalog, deliberately WITHOUT
+  * tombstone filtering — a batch's rows are emitted exactly once, when
+  * its marker lands, and are not retracted if a later compaction
+  * tombstones the chunk (the compaction's own rewrite batch would
+  * otherwise double-deliver the same rows). Consumers wanting the
+  * current table state use the batch read; consumers of the stream get
+  * exactly-once delivery of every ingested row. Filters prune new
+  * batches' chunks the same way the batch scan prunes
+  * ([[FsstScan.planFromManifest]]).
+  */
+final class FsstMicroBatchStream(root: String, table: String, tableSchema: StructType,
+    required: StructType, filters: Array[Filter], chunksPerPartition: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+  private val io = new ParquetTableIO(root)
+  // Trigger.AvailableNow pins the end offset at stream start so the run
+  // drains to a FIXED point and terminates even while writers keep
+  // committing
+  @volatile private var availableNowCap: Option[String] = None
+
+  private def currentMax: String = {
+    val ids = io.committedBatchIds(spark, table)
+    if (ids.isEmpty) "" else ids.max
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentMax)
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    FsstOffset("")
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    FsstOffset(availableNowCap.getOrElse(currentMax))
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
+  // limiting — a micro-batch takes every batch committed so far (or up to
+  // the AvailableNow pin); Spark calls this overload when present
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    FsstOffset(json)
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[FsstOffset].batch
+    val e0 = end.asInstanceOf[FsstOffset].batch
+    val batches = io.committedBatchIds(spark, table).filter(b => b > s0 && b <= e0).sorted
+    if (batches.isEmpty) return Array.empty
+    val mAll = io.manifestForBatches(spark, table, batches.toIndexedSeq)
+      .select("file", "column", "chunk_id", "n_rows", "bytes_out",
+        "min_key", "max_key", "value_min", "value_max")
+      .collect()
+    FsstScan.planFromManifest(mAll, required, tableSchema, filters, chunksPerPartition, table)
+      ._1.asInstanceOf[Array[InputPartition]]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    new FsstReaderFactory(required, conf)
+  }
 }
 
 private[sources] object FsstScan {
+  /** The ingest batch a data file belongs to, parsed from its
+    * `batch=` partition directory ([[ParquetTableIO]] writes data under
+    * `data/batch=<id>/column=<name>/`). Distinguishes physical chunks
+    * whose chunk_id repeats across batches.
+    */
+  def batchFromPath(file: String): String = {
+    val i = file.indexOf("batch=")
+    if (i < 0) "" // repaired/foreign layout: fall back to one instance per id
+    else {
+      val end = file.indexOf('/', i)
+      if (end < 0) file.substring(i + 6) else file.substring(i + 6, end)
+    }
+  }
+
+  /** Shared planning tail of the batch scan and the micro-batch stream:
+    * prune + group manifest rows (positional schema `file, column,
+    * chunk_id, n_rows, bytes_out, min_key, max_key, value_min,
+    * value_max`) into chunk-group partitions. Key-only scans anchor on
+    * ONE stored column for key blobs + row counts — chosen as the
+    * SMALLEST column by manifest bytes, so e.g. a key scan of the pages
+    * table rides the lang column, not html — and skip value bytes
+    * entirely (`readValues = false`).
+    */
+  def planFromManifest(mAll: Array[org.apache.spark.sql.Row], required: StructType,
+      tableSchema: StructType, filters: Array[Filter], chunksPerPartition: Int,
+      table: String): (Array[ChunkGroupPartition], Long, Long) = {
+    val valueFields = required.fieldNames.filter(_ != "key").toSeq
+    val doubleCols = tableSchema.fields.filter(_.dataType == DoubleType).map(_.name).toSet
+    val statCols = filters.flatMap(references).filter(c =>
+      tableSchema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == DoubleType))).toSet
+    if (mAll.isEmpty) return (Array.empty, 0L, 0L)
+    val (fetch, readValues) =
+      if (valueFields.nonEmpty) (valueFields, true)
+      else {
+        val anchor = mAll.groupBy(_.getString(1)).view
+          .mapValues(_.map(_.getLong(4)).sum).minBy(_._2)._1
+        (Seq(anchor), false)
+      }
+    val needed = (fetch ++ statCols).distinct.toSet
+    val m = mAll.filter(r => needed.contains(r.getString(1)))
+    // (chunk_id, batch) -> per-column manifest rows: one PHYSICAL chunk.
+    // Grouping by id alone would merge chunks whose id repeats across
+    // append batches (hash-mode ids are bucket indexes in every batch)
+    // and silently drop all but one file's rows.
+    val byInstance = m.groupBy(r => (r.getLong(2), batchFromPath(r.getString(0))))
+    val survivors = byInstance.filter { case (_, rows) =>
+      val r0 = rows(0)
+      keySurvives(r0.getString(5), r0.getString(6), filters) &&
+        rows.forall { r =>
+          val colName = r.getString(1)
+          val lo = if (r.isNullAt(7)) None else Some(r.getLong(7))
+          val hi = if (r.isNullAt(8)) None else Some(r.getLong(8))
+          valueSurvives(colName, lo, hi, doubleCols.contains(colName), filters)
+        }
+    }
+    val groups = mutable.LinkedHashMap.empty[Seq[String], mutable.ArrayBuffer[(Long, Long)]]
+    var totalRows = 0L
+    var totalBytes = 0L
+    survivors.toArray.sortBy(_._1).foreach { case ((cid, batch), rows) =>
+      val perCol = rows.groupBy(_.getString(1))
+      fetch.foreach { c =>
+        val n = perCol.get(c).map(_.length).getOrElse(0)
+        require(n == 1, s"chunk $cid (batch $batch) of table '$table': " +
+          s"expected exactly one manifest row for column '$c', found $n")
+      }
+      val fileOf = perCol.view.mapValues(_.head.getString(0)).toMap
+      val tuple = fetch.map(fileOf)
+      groups.getOrElseUpdate(tuple, mutable.ArrayBuffer.empty) += ((cid, rows(0).getLong(3)))
+      totalRows += rows(0).getLong(3)
+      totalBytes += rows.filter(r => fetch.contains(r.getString(1))).map(_.getLong(4)).sum
+    }
+    val parts = groups.iterator.flatMap { case (files, chunks) =>
+      chunks.grouped(chunksPerPartition).map { g =>
+        ChunkGroupPartition(g.map(_._1).toArray, g.map(_._2).toArray,
+          fetch.zip(files).map { case (c, f) => ColFile(c, f) }.toArray, readValues)
+      }
+    }.toArray
+    (parts, totalRows, totalBytes)
+  }
+
   /** Filters this source can use for chunk pruning. */
   def prunable(f: Filter, longOrDouble: Set[String]): Boolean = f match {
     case EqualTo(a, _) => a == "key" || longOrDouble.contains(a)
@@ -550,9 +701,14 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
   private def loadColumn(cf: ColFile): java.util.HashMap[java.lang.Long, (Array[Byte], Array[Byte])] = {
     val c = new Configuration(conf)
     // repetition mirrors the Spark writer: primitive Long → required,
-    // Array[Byte] → optional (parquet projection checks repetition exactly)
+    // Array[Byte] → optional (parquet projection checks repetition exactly).
+    // Key-only scans project value_blob out entirely — the anchor column's
+    // compressed values never leave the parquet pages.
     c.set(ReadSupport.PARQUET_READ_SCHEMA,
-      "message proj { required int64 chunk_id; optional binary key_blob; optional binary value_blob; }")
+      if (part.readValues)
+        "message proj { required int64 chunk_id; optional binary key_blob; optional binary value_blob; }"
+      else
+        "message proj { required int64 chunk_id; optional binary key_blob; }")
     val ids = part.chunkIds.map(java.lang.Long.valueOf).toSet.asJava
     val pred = FilterApi.in(FilterApi.longColumn("chunk_id"), new java.util.HashSet(ids))
     val reader = ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(cf.file))
@@ -562,8 +718,8 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
       var g = reader.read()
       while (g != null) {
         val cid = g.getLong("chunk_id", 0)
-        require(out.put(cid, (g.getBinary("key_blob", 0).getBytes,
-          g.getBinary("value_blob", 0).getBytes)) == null,
+        val value = if (part.readValues) g.getBinary("value_blob", 0).getBytes else null
+        require(out.put(cid, (g.getBinary("key_blob", 0).getBytes, value)) == null,
           s"file ${cf.file}: duplicate chunk $cid for column ${cf.column}")
         g = reader.read()
       }

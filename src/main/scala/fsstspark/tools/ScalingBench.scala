@@ -52,6 +52,26 @@ object ScalingBench {
       println(s"[scaling] corpus written: $corpusDir")
     }
 
+    // encoded catalog shared by the read modes (dsv2 connector vs typed
+    // decodeColumns): built once from the same corpus
+    val catalogRoot = corpusDir + "_catalog"
+    val readModes = Set("dsv2", "dsv2_typed")
+    if (wantModes.exists(readModes) &&
+        !new java.io.File(s"$catalogRoot/pages/commits").exists()) {
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("fsstspark-catalog-gen")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val io = new fsstspark.io.ParquetTableIO(catalogRoot)
+      io.writeChunks(EncodePipeline.encodeColumnsLocal(
+        spark.read.parquet(corpusDir), col("url"),
+        Seq(EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+          EncodePipeline.ColSpec("html", col("html"))), 4L << 20), "pages")
+      spark.stop()
+      println(s"[scaling] catalog written: $catalogRoot")
+    }
+
     val out = scala.collection.mutable.LinkedHashMap.empty[(Int, String), (Double, Long)]
     for (cpus <- cpuLevels) {
       val spark = SparkSession.builder()
@@ -95,7 +115,22 @@ object ScalingBench {
           EncodePipeline.encodeBytesPregrouped(textKv, "text", chunk)
             .agg(sum("bytes_in")).head().getLong(0) +
           EncodePipeline.encodeBytesPregrouped(htmlKv, "html", chunk)
-            .agg(sum("bytes_in")).head().getLong(0))
+            .agg(sum("bytes_in")).head().getLong(0)),
+        // full-table decode through the DataSource V2 connector (reported
+        // bytes = decoded output, the read-side throughput denominator)
+        "dsv2" -> (() =>
+          spark.read.format("fsst")
+            .option("root", catalogRoot).option("table", "pages").load()
+            .agg(sum(octet_length(col("text"))) + sum(octet_length(col("html"))))
+            .head().getLong(0)),
+        // same catalog through the typed decodeColumns path (the baseline
+        // the connector must not trail)
+        "dsv2_typed" -> (() =>
+          EncodePipeline.decodeColumns(
+            new fsstspark.io.ParquetTableIO(catalogRoot).readChunks(spark, "pages"),
+            Seq(EncodePipeline.ReadSpec("text"), EncodePipeline.ReadSpec("html")))
+            .agg(sum(octet_length(col("text"))) + sum(octet_length(col("html"))))
+            .head().getLong(0))
       )
       for ((mode, runOnce) <- modes if wantModes(mode)) {
         val bytesIn = runOnce() // warmup, untimed
@@ -126,7 +161,7 @@ object ScalingBench {
     }
     val cs = cpuLevels.sorted
     if (cs.length >= 2) {
-      for (mode <- Seq("scan", "local", "shuffle", "shuffle_pregroup") if wantModes(mode)) {
+      for (mode <- Seq("scan", "local", "shuffle", "shuffle_pregroup", "dsv2", "dsv2_typed") if wantModes(mode)) {
         val (tLow, _) = out((cs.head, mode))
         val (tHigh, bytes) = out((cs.last, mode))
         val factor = cs.last.toDouble / cs.head

@@ -68,6 +68,7 @@ object SparkEntry {
     // DataSource V2 connector: plain spark.read over the chunk catalog
     "dsv2_readback" -> (Queries.dsv2Readback _),
     "dsv2_pushdown" -> (Queries.dsv2Pushdown _),
+    "dsv2_streaming" -> (Queries.dsv2Streaming _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -156,6 +157,13 @@ object SparkEntry {
            '</h1><p>' || text || '</p></body></html>') AS html_md5,
          CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts_us
          FROM documents ORDER BY url""",
+    // streaming read of the catalog: exactly-once delivery of both appends
+    "dsv2_streaming" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+         CAST(sum(1577836800000000 + doc_id * 1000000) AS BIGINT) AS sum_ts_us,
+         CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+         FROM documents""",
     // connector zone-map pushdown: same bucket arithmetic as q_zone_pruning
     "dsv2_pushdown" ->
       """WITH e AS (SELECT epoch_us(ts) AS t FROM events),

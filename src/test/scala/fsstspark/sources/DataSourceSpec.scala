@@ -191,6 +191,47 @@ class DataSourceSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT text FROM fsst_pages WHERE key = '$k'").count() == 1)
   }
 
+  test("the PRODUCTION read path prunes: BatchScanExec partitions shrink under a range filter") {
+    val root = freshRoot()
+    val df = pagesDf.orderBy("ts").coalesce(1)
+    writeTable(df, root, "prodprune", chunkBytes = 4L << 10)
+    def plannedChunks(d: org.apache.spark.sql.DataFrame): Long =
+      d.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputPartitions.collect { case p: ChunkGroupPartition => p }
+        .map(_.chunkIds.length.toLong).sum
+    val full = spark.read.format("fsst").option("root", root).option("table", "prodprune").load()
+    val total = plannedChunks(full.select("ts"))
+    assert(total > 3, s"fixture too small: $total chunks")
+    val bounds = df.agg(min("ts"), max("ts")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val narrow = plannedChunks(
+      full.select("ts").filter(col("ts") >= mid && col("ts") <= mid + (hi - lo) / 10))
+    assert(narrow < total, s"production path pruned nothing: $narrow of $total")
+  }
+
+  test("a chunk id reused across append batches reads as two physical chunks") {
+    import spark.implicits._
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val kv = pagesDf.select(col("url").as("key"), encode(col("text"), "UTF-8").as("value"))
+      .as[fsstspark.pipeline.KV]
+    // hash-mode chunk ids are bucket indexes 0..7 in EVERY batch: two
+    // appends collide on every chunk_id
+    val chunk = EncodePipeline.chunkIdByHash(col("key"), 8)
+    io.writeChunks(EncodePipeline.encodeBytes(kv, "text", chunk), "dup")
+    io.writeChunks(EncodePipeline.encodeBytes(kv, "text", chunk), "dup")
+    val n = kv.count()
+    val got = spark.read.format("fsst").option("root", root).option("table", "dup")
+      .option("stringColumns", "text").load()
+    assert(got.count() == 2 * n, "both batches' rows must be visible")
+    val perKey = got.groupBy("key").count().filter(col("count") =!= 2).count()
+    assert(perKey == 0, "every key appears once per batch")
+    // content identical across the two instances
+    assert(got.select("key", "text").distinct().count() == n)
+  }
+
   test("COUNT/MIN/MAX push down to the manifest and the plan shows it") {
     val root = freshRoot()
     val df = pagesDf
@@ -232,6 +273,43 @@ class DataSourceSpec extends AnyFunSuite {
     // ts stats are complete on the same table → that aggregate still pushes
     val planTs = got.agg(min("ts")).queryExecution.executedPlan.toString
     assert(planTs.contains("PushedAggregates"))
+  }
+
+  test("readStream over the catalog: each micro-batch delivers exactly the new batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf
+    // ts = doc_id*1000: split on the doc_id parity, not ts parity
+    val (b1, b2) = (df.filter((col("ts") / 1000) % 2 === 0), df.filter((col("ts") / 1000) % 2 =!= 0))
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(b1, col("url"), pageSpecs, 64L << 10), "pages")
+    val base = freshRoot()
+    val (ckpt, out) = (base + "/ckpt", base + "/out")
+    def drain(): Unit = {
+      val q = spark.readStream.format("fsst")
+        .option("root", root).option("table", "pages").option("stringColumns", "text").load()
+        .select("key", "ts")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    def delivered(): org.apache.spark.sql.DataFrame = spark.read.parquet(out)
+    drain()
+    val n1 = delivered().count()
+    assert(n1 == b1.count(), s"first drain delivered $n1, want ${b1.count()}")
+    // second append lands AFTER the first drain; the next run must deliver
+    // ONLY the new batch (offset = committed batch watermark)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(b2, col("url"), pageSpecs, 64L << 10), "pages")
+    drain()
+    val n2 = delivered().count()
+    assert(n2 == df.count(), s"after second drain total is $n2, want ${df.count()}")
+    // no duplicates: every key delivered exactly once
+    val dup = delivered().groupBy("key").count().filter(col("count") > 1).count()
+    assert(dup == 0, "streaming delivered a key twice")
+    // a third drain with nothing new delivers nothing
+    drain()
+    assert(delivered().count() == df.count())
   }
 
   test("tombstoned chunks are invisible to the connector") {
