@@ -776,6 +776,33 @@ object Queries {
         col("min_t_match"), col("max_t_match"))
   }
 
+  /** Whole-value equality pushdown through the connector's READER:
+    * the lang predicate reaches [[fsstspark.codec.BytesCodec.selectEquals]]
+    * inside the scan — dict-codec chunks answer membership from their
+    * dictionary (a miss skips the chunk with nothing decoded; a hit
+    * emits only matching rows, and the filtered column itself is never
+    * decoded since a matched value IS the target). Result fully
+    * DuckDB-oracled against `documents`.
+    */
+  def dsv2EqPushdown(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-eq-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val docs = documents(s, dir).select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+      col("text"), col("lang"))
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("k"), Seq(
+      EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
+      EncodePipeline.ColSpec("lang", encode(col("lang"), "UTF-8"))), 64L << 10), "docs")
+    val target = docs.agg(min("lang")).head().getString(0)
+    s.read.format("fsst").option("root", root).option("table", "docs")
+      .option("stringColumns", "text,lang").load()
+      .filter(col("lang") === target)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(encode(col("text"), "UTF-8"))).as("text_bytes"),
+        min("key").as("min_key"), max("key").as("max_key"))
+      .withColumn("lang", lit(target))
+  }
+
   /** Streaming read of the catalog through the connector
     * (`spark.readStream.format("fsst")`): two appends land in the chunk
     * catalog, one Trigger.AvailableNow run drains the commit log into a

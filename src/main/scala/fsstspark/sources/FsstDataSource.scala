@@ -86,8 +86,8 @@ final class FsstDataSource extends TableProvider with DataSourceRegister {
     // commit between the two calls into a schema mismatch)
     val opts = new CaseInsensitiveStringMap(properties)
     if (schema != null && schema.nonEmpty) {
-      val (root, table, _, cpp) = FsstDataSource.parseOptions(opts)
-      new FsstTable(root, table, schema, cpp)
+      val (root, table, _, cpp, columnar) = FsstDataSource.parseOptions(opts)
+      new FsstTable(root, table, schema, cpp, columnar)
     } else FsstDataSource.resolve(opts)
   }
 
@@ -101,7 +101,7 @@ object FsstDataSource {
     * surfaced as StringType when listed in `stringColumns` (the encode
     * side stored them via `encode(col, "UTF-8")`).
     */
-  private[sources] def parseOptions(options: CaseInsensitiveStringMap): (String, String, Set[String], Int) = {
+  private[sources] def parseOptions(options: CaseInsensitiveStringMap): (String, String, Set[String], Int, String) = {
     val path = Option(options.get("path"))
     val (root, table) = (Option(options.get("root")), Option(options.get("table"))) match {
       case (Some(r), Some(t)) => (r, t)
@@ -116,11 +116,20 @@ object FsstDataSource {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
     val chunksPerPartition = Option(options.get("chunksPerPartition")).map(_.toInt).getOrElse(8)
     require(chunksPerPartition > 0, "chunksPerPartition must be positive")
-    (root, table, stringCols, chunksPerPartition)
+    // columnar=off (default, MEASURED): vectors lose 2-3x on byte-heavy
+    // scans (putByteArray copies multi-KB values the row path passes
+    // zero-copy), lose ~1.5x on small mixed chunks (per-batch overhead),
+    // and only TIE on the best case (1M-row longs-only chunks — decode,
+    // not row materialization, bounds the scan). BASELINE.md r4b. The
+    // reader stays in-tree: auto = fixed-width projections only, all =
+    // every data scan.
+    val columnar = Option(options.get("columnar")).getOrElse("off")
+    require(Set("auto", "off", "all")(columnar), s"columnar must be auto|off|all, got '$columnar'")
+    (root, table, stringCols, chunksPerPartition, columnar)
   }
 
   def resolve(options: CaseInsensitiveStringMap): FsstTable = {
-    val (root, table, stringCols, chunksPerPartition) = parseOptions(options)
+    val (root, table, stringCols, chunksPerPartition, columnar) = parseOptions(options)
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
     require(io.tableExists(spark, table),
@@ -146,18 +155,18 @@ object FsstDataSource {
         else BinaryType
       StructField(name, dt, nullable = true)
     }
-    new FsstTable(root, table, StructType(fields), chunksPerPartition)
+    new FsstTable(root, table, StructType(fields), chunksPerPartition, columnar)
   }
 }
 
 final class FsstTable(root: String, tableName: String, tableSchema: StructType,
-    chunksPerPartition: Int) extends Table with SupportsRead {
+    chunksPerPartition: Int, columnarMode: String = "auto") extends Table with SupportsRead {
   override def name(): String = s"fsst.`$root`.`$tableName`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition)
+    new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition, columnarMode)
 }
 
 /** One pushed aggregate, reduced to what the manifest can answer:
@@ -173,7 +182,7 @@ private[sources] final case class MinMaxSpec(column: String, isMin: Boolean,
     dataType: DataType) extends AggSpec
 
 final class FsstScanBuilder(root: String, table: String, tableSchema: StructType,
-    chunksPerPartition: Int)
+    chunksPerPartition: Int, columnarMode: String = "auto")
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -274,7 +283,7 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     }
 
   override def build(): Scan =
-    new FsstScan(root, table, tableSchema, required, pushed, chunksPerPartition, agg)
+    new FsstScan(root, table, tableSchema, required, pushed, chunksPerPartition, agg, columnarMode)
 }
 
 /** One fetched column of a partition: every chunk in the group has its
@@ -299,7 +308,7 @@ final case class AggRowPartition(values: Array[Any]) extends InputPartition
 
 final class FsstScan(root: String, table: String, tableSchema: StructType,
     required: StructType, filters: Array[Filter], chunksPerPartition: Int,
-    agg: Option[(StructType, Array[AggSpec])] = None)
+    agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "auto")
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
@@ -396,7 +405,8 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new FsstReaderFactory(readSchema(), conf)
+    new FsstReaderFactory(readSchema(), conf, FsstScan.byteEqFilters(filters, tableSchema),
+      columnarMode)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -582,9 +592,28 @@ private[sources] object FsstScan {
     (parts, totalRows, totalBytes)
   }
 
+  /** Whole-value equality filters on byte/string columns, handed to the
+    * READER: [[BytesCodec.selectEquals]] answers them from chunk
+    * structure (dict membership / RLE run headers / FSST encoded-probe),
+    * skipping non-matching chunks without decoding and emitting only
+    * matching rows — and since a matched row's value IS the target, the
+    * filtered column itself is never decoded at all.
+    */
+  def byteEqFilters(filters: Array[Filter], tableSchema: StructType): Array[ColEquals] =
+    filters.collect {
+      case EqualTo(c, v) if tableSchema.fields.exists(f => f.name == c && f.name != "key" &&
+          (f.dataType == BinaryType || f.dataType == StringType)) =>
+        v match {
+          case s: String => Some(ColEquals(c, s.getBytes("UTF-8")))
+          case b: Array[Byte] => Some(ColEquals(c, b))
+          case _ => None
+        }
+    }.flatten
+
   /** Filters this source can use for chunk pruning. */
   def prunable(f: Filter, longOrDouble: Set[String]): Boolean = f match {
-    case EqualTo(a, _) => a == "key" || longOrDouble.contains(a)
+    case EqualTo(a, v) => a == "key" || longOrDouble.contains(a) ||
+      v.isInstanceOf[String] || v.isInstanceOf[Array[Byte]]
     case GreaterThan(a, _) => a == "key" || longOrDouble.contains(a)
     case GreaterThanOrEqual(a, _) => a == "key" || longOrDouble.contains(a)
     case LessThan(a, _) => a == "key" || longOrDouble.contains(a)
@@ -657,7 +686,11 @@ private[sources] object FsstScan {
     }
 }
 
-final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguration)
+/** One byte-equality filter the reader answers structurally. */
+final case class ColEquals(column: String, target: Array[Byte])
+
+final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguration,
+    eqFilters: Array[ColEquals] = Array.empty, columnarMode: String = "auto")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -670,33 +703,60 @@ final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguratio
         })
         override def close(): Unit = ()
       }
-      case p: ChunkGroupPartition => new ChunkGroupReader(schema, p, conf.value)
+      case p: ChunkGroupPartition => new ChunkGroupReader(schema, p, conf.value, eqFilters)
     }
+
+  /** Columnar reads are OPT-IN (`columnar=auto|all`): measured on three
+    * shapes, the row path wins byte-heavy scans 2–3× (putByteArray
+    * copies what rows pass zero-copy), wins small mixed chunks ~1.5×
+    * (per-batch overhead), and ties the longs-only best case — decode,
+    * not row materialization, bounds the scan (BASELINE.md r4b).
+    * `auto` = fixed-width-only projections; `all` = every data scan.
+    * Uniform across a scan's partitions by construction: aggregate scans
+    * (single AggRowPartition) and empty projections stay row-based.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case p: ChunkGroupPartition if p.colFiles.nonEmpty && schema.nonEmpty =>
+        columnarMode match {
+          case "off" => false
+          case "all" => true
+          case _ => schema.fields.forall(f =>
+            f.dataType == LongType || f.dataType == DoubleType)
+        }
+      case _ => false
+    }
+
+  override def createColumnarReader(partition: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ChunkGroupColumnarReader(schema, partition.asInstanceOf[ChunkGroupPartition],
+      conf.value, eqFilters)
 }
 
-/** Reads one chunk group: per fetched column, the chunks' blob rows come
-  * out of ONE parquet file (projection = 3 fields, `chunk_id IN` record
-  * filter so row-group stats skip other chunks); each chunk then decodes
-  * once per column and zips back into rows under the same key-blob
-  * identity guard as [[EncodePipeline.decodeColumns]]. Memory is bounded
-  * by chunksPerPartition × nCols × chunk size, not file size.
+/** One decoded (and eq-filtered) chunk, shared by the row and columnar
+  * emitters: `emit` = row indices to surface, arrays indexed by the
+  * partition's colFiles order (an entry is null when that column is
+  * eq-answered or of the other kind).
   */
-final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+private[sources] final case class DecodedChunk(
+    emit: Array[Int],
+    keys: Array[Array[Byte]],
+    bytesCols: Array[Array[Array[Byte]]],
+    longCols: Array[LongCodec.LongColumn],
+    eqTargets: java.util.HashMap[String, Array[Byte]])
 
-  private val fields = schema.fields
-  private val rows: Iterator[InternalRow] =
-    if (fields.isEmpty) {
-      // Long-counted: a partition can legally hold > Int.MaxValue rows
-      // (chunksPerPartition × MaxChunkRows) and .toInt would truncate
-      val total = part.nRows.sum
-      new Iterator[InternalRow] {
-        private var i = 0L
-        override def hasNext: Boolean = i < total
-        override def next(): InternalRow = { i += 1; new GenericInternalRow(0) }
-      }
-    } else if (part.colFiles.isEmpty) Iterator.empty // projection needs columns but none planned
-    else chunkRows()
+/** Decodes one chunk group: per fetched column, the chunks' blob rows
+  * come out of ONE parquet file (projection = 2–3 fields, `chunk_id IN`
+  * record filter so row-group stats skip other chunks); each chunk then
+  * decodes once per column under the same key-blob identity guard as
+  * [[EncodePipeline.decodeColumns]]. Memory is bounded by
+  * chunksPerPartition × nCols × chunk size, not file size.
+  */
+private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGroupPartition,
+    conf: Configuration, eqFilters: Array[ColEquals]) {
+
+  val fields: Array[StructField] = schema.fields
+  val colOf: Map[String, Int] = part.colFiles.map(_.column).zipWithIndex.toMap
 
   private def loadColumn(cf: ColFile): java.util.HashMap[java.lang.Long, (Array[Byte], Array[Byte])] = {
     val c = new Configuration(conf)
@@ -727,12 +787,11 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
     out
   }
 
-  private def chunkRows(): Iterator[InternalRow] = {
+  def decodedChunks(): Iterator[DecodedChunk] = {
     val byCol = part.colFiles.map(cf => cf.column -> loadColumn(cf)).toMap
     val wantKey = fields.exists(_.name == "key")
-    // field -> source: -1 = key, else index into colFiles order
-    val colOf = part.colFiles.map(_.column).zipWithIndex.toMap
-    part.chunkIds.iterator.flatMap { cid =>
+    val eqApplicable = eqFilters.filter(e => colOf.contains(e.column))
+    part.chunkIds.iterator.zipWithIndex.flatMap { case (cid, chunkIdx) =>
       val blobs = part.colFiles.map { cf =>
         val b = byCol(cf.column).get(cid)
         require(b != null, s"chunk $cid: no row for column ${cf.column} in ${cf.file}")
@@ -743,62 +802,116 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
         require(java.util.Arrays.equals(b._1, first._1),
           s"chunk $cid: key blobs differ across columns — mixed chunkings")
       }
-      // decode each fetched column once
-      val decodedBytes = new Array[Array[Array[Byte]]](blobs.length)
-      val decodedLongs = new Array[LongCodec.LongColumn](blobs.length)
-      var n = -1
-      fields.foreach { f =>
-        if (f.name != "key") {
-          val i = colOf(f.name)
-          if (f.dataType == LongType || f.dataType == DoubleType) {
-            val c = LongCodec.decode(blobs(i)._2)
-            decodedLongs(i) = c
-            require(n < 0 || n == c.n, s"chunk $cid: column ${f.name} row count mismatch")
-            n = c.n
-          } else {
-            val v = BytesCodec.decode(blobs(i)._2)
-            decodedBytes(i) = v
-            require(n < 0 || n == v.length, s"chunk $cid: column ${f.name} row count mismatch")
-            n = v.length
-          }
+      // structural equality pushdown: selectEquals answers byte-column
+      // EqualTo from chunk STRUCTURE (dict membership / RLE run headers /
+      // FSST encoded-probe — exact, never a superset), so a chunk with no
+      // match is skipped without decoding anything, a matching chunk
+      // emits only its matching rows, and the filtered column itself is
+      // never decoded (a matched row's value IS the target)
+      var selected: Array[Int] = null // null = every row
+      var skipChunk = false
+      val eqTarget = new java.util.HashMap[String, Array[Byte]]()
+      eqApplicable.foreach { e =>
+        if (!skipChunk) {
+          val (idx, _) = BytesCodec.selectEquals(blobs(colOf(e.column))._2, e.target)
+          eqTarget.put(e.column, e.target)
+          selected =
+            if (selected == null) idx
+            else selected.filter(java.util.Arrays.binarySearch(idx, _) >= 0)
+          if (selected.isEmpty) skipChunk = true
         }
       }
-      val keys: Array[Array[Byte]] = if (wantKey) {
-        val k = BytesCodec.decode(first._1)
-        require(n < 0 || n == k.length, s"chunk $cid: key/value row count mismatch")
-        n = k.length
-        k
-      } else null
-      if (n < 0) n = BytesCodec.decode(first._1).length // key-anchored empty projection
-      Iterator.tabulate(n) { ri =>
-        val arr = new Array[Any](fields.length)
-        var fi = 0
-        while (fi < fields.length) {
-          val f = fields(fi)
-          arr(fi) =
-            if (f.name == "key") UTF8String.fromBytes(keys(ri))
-            else {
-              val i = colOf(f.name)
-              f.dataType match {
-                case LongType =>
-                  val c = decodedLongs(i)
-                  if (c.nulls(ri)) null else c.values(ri)
-                case DoubleType =>
-                  val c = decodedLongs(i)
-                  if (c.nulls(ri)) null else java.lang.Double.longBitsToDouble(c.values(ri))
-                case StringType =>
-                  val b = decodedBytes(i)(ri)
-                  if (b == null) null else UTF8String.fromBytes(b)
-                case _ =>
-                  decodedBytes(i)(ri)
-              }
+      if (skipChunk) Iterator.empty
+      else {
+        // decode each fetched column once (eq-filtered columns excluded)
+        val decodedBytes = new Array[Array[Array[Byte]]](blobs.length)
+        val decodedLongs = new Array[LongCodec.LongColumn](blobs.length)
+        var n = -1
+        fields.foreach { f =>
+          if (f.name != "key" && !eqTarget.containsKey(f.name)) {
+            val i = colOf(f.name)
+            if (f.dataType == LongType || f.dataType == DoubleType) {
+              val c = LongCodec.decode(blobs(i)._2)
+              decodedLongs(i) = c
+              require(n < 0 || n == c.n, s"chunk $cid: column ${f.name} row count mismatch")
+              n = c.n
+            } else {
+              val v = BytesCodec.decode(blobs(i)._2)
+              decodedBytes(i) = v
+              require(n < 0 || n == v.length, s"chunk $cid: column ${f.name} row count mismatch")
+              n = v.length
             }
-          fi += 1
+          }
         }
-        new GenericInternalRow(arr)
+        val keys: Array[Array[Byte]] = if (wantKey) {
+          val k = BytesCodec.decode(first._1)
+          require(n < 0 || n == k.length, s"chunk $cid: key/value row count mismatch")
+          n = k.length
+          k
+        } else null
+        if (n < 0) n = part.nRows(chunkIdx).toInt // only eq columns fetched
+        val emit: Array[Int] =
+          if (selected == null) Array.range(0, n)
+          else { require(selected.isEmpty || selected.last < n,
+            s"chunk $cid: selectEquals index ${selected.last} out of $n rows"); selected }
+        Iterator.single(DecodedChunk(emit, keys, decodedBytes, decodedLongs, eqTarget))
       }
     }
   }
+}
+
+/** Row-based emitter over [[ChunkGroupDecoder]]. */
+final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
+    conf: Configuration, eqFilters: Array[ColEquals] = Array.empty)
+    extends PartitionReader[InternalRow] {
+
+  private val fields = schema.fields
+  private val rows: Iterator[InternalRow] =
+    if (fields.isEmpty) {
+      // Long-counted: a partition can legally hold > Int.MaxValue rows
+      // (chunksPerPartition × MaxChunkRows) and .toInt would truncate
+      val total = part.nRows.sum
+      new Iterator[InternalRow] {
+        private var i = 0L
+        override def hasNext: Boolean = i < total
+        override def next(): InternalRow = { i += 1; new GenericInternalRow(0) }
+      }
+    } else if (part.colFiles.isEmpty) Iterator.empty // projection needs columns but none planned
+    else {
+      val dec = new ChunkGroupDecoder(schema, part, conf, eqFilters)
+      dec.decodedChunks().flatMap { d =>
+        d.emit.iterator.map { ri =>
+          val arr = new Array[Any](fields.length)
+          var fi = 0
+          while (fi < fields.length) {
+            val f = fields(fi)
+            arr(fi) =
+              if (f.name == "key") UTF8String.fromBytes(d.keys(ri))
+              else if (d.eqTargets.containsKey(f.name)) {
+                val t = d.eqTargets.get(f.name)
+                if (f.dataType == StringType) UTF8String.fromBytes(t) else t
+              } else {
+                val i = dec.colOf(f.name)
+                f.dataType match {
+                  case LongType =>
+                    val c = d.longCols(i)
+                    if (c.nulls(ri)) null else c.values(ri)
+                  case DoubleType =>
+                    val c = d.longCols(i)
+                    if (c.nulls(ri)) null else java.lang.Double.longBitsToDouble(c.values(ri))
+                  case StringType =>
+                    val b = d.bytesCols(i)(ri)
+                    if (b == null) null else UTF8String.fromBytes(b)
+                  case _ =>
+                    d.bytesCols(i)(ri)
+                }
+              }
+            fi += 1
+          }
+          new GenericInternalRow(arr)
+        }
+      }
+    }
 
   private var current: InternalRow = _
   override def next(): Boolean = {
@@ -806,4 +919,68 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Columnar emitter: each decoded chunk becomes ONE ColumnarBatch filled
+  * straight from the decoder's per-column arrays (they are already
+  * columnar), so the scan avoids a GenericInternalRow per row and Spark's
+  * codegen'd ColumnarToRow takes over — the connector's hot path stays
+  * inside whole-stage codegen.
+  */
+final class ChunkGroupColumnarReader(schema: StructType, part: ChunkGroupPartition,
+    conf: Configuration, eqFilters: Array[ColEquals])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val fields = schema.fields
+  private val dec = new ChunkGroupDecoder(schema, part, conf, eqFilters)
+  private val chunks: Iterator[DecodedChunk] =
+    if (part.colFiles.isEmpty) Iterator.empty else dec.decodedChunks()
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (current != null) { current.close(); current = null }
+    if (!chunks.hasNext) return false
+    val d = chunks.next()
+    val m = d.emit.length
+    val vectors = fields.map { f =>
+      val v = new OnHeapColumnVector(m, f.dataType)
+      var j = 0
+      if (f.name == "key") {
+        while (j < m) { val b = d.keys(d.emit(j)); v.putByteArray(j, b, 0, b.length); j += 1 }
+      } else if (d.eqTargets.containsKey(f.name)) {
+        val t = d.eqTargets.get(f.name)
+        while (j < m) { v.putByteArray(j, t, 0, t.length); j += 1 }
+      } else {
+        val i = dec.colOf(f.name)
+        f.dataType match {
+          case LongType =>
+            val c = d.longCols(i)
+            while (j < m) {
+              val ri = d.emit(j)
+              if (c.nulls(ri)) v.putNull(j) else v.putLong(j, c.values(ri)); j += 1
+            }
+          case DoubleType =>
+            val c = d.longCols(i)
+            while (j < m) {
+              val ri = d.emit(j)
+              if (c.nulls(ri)) v.putNull(j)
+              else v.putDouble(j, java.lang.Double.longBitsToDouble(c.values(ri))); j += 1
+            }
+          case _ => // StringType and BinaryType both store byte arrays
+            val col = d.bytesCols(i)
+            while (j < m) {
+              val b = col(d.emit(j))
+              if (b == null) v.putNull(j) else v.putByteArray(j, b, 0, b.length); j += 1
+            }
+        }
+      }
+      v
+    }
+    current = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector], m)
+    true
+  }
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = if (current != null) { current.close(); current = null }
 }

@@ -54,8 +54,9 @@ object ScalingBench {
 
     // encoded catalog shared by the read modes (dsv2 connector vs typed
     // decodeColumns): built once from the same corpus
-    val catalogRoot = corpusDir + "_catalog"
-    val readModes = Set("dsv2", "dsv2_typed")
+    val catalogRoot = corpusDir + "_catalog_v2"
+    val readModes = Set("dsv2", "dsv2_typed", "dsv2_long", "dsv2_long_rows",
+      "dsv2_longonly", "dsv2_longonly_rows")
     if (wantModes.exists(readModes) &&
         !new java.io.File(s"$catalogRoot/pages/commits").exists()) {
       val spark = SparkSession.builder().master("local[32]")
@@ -67,9 +68,31 @@ object ScalingBench {
       io.writeChunks(EncodePipeline.encodeColumnsLocal(
         spark.read.parquet(corpusDir), col("url"),
         Seq(EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")),
-          EncodePipeline.ColSpec("html", col("html"))), 4L << 20), "pages")
+          EncodePipeline.ColSpec("html", col("html")),
+          EncodePipeline.ColSpec("ts", unix_micros(col("warc_ts")), isLong = true)),
+        4L << 20), "pages")
       spark.stop()
       println(s"[scaling] catalog written: $catalogRoot")
+    }
+    // longs-only catalog: ~1M rows per chunk — the columnar reader's best
+    // case (vector fills amortized over big batches, no byte columns)
+    if (wantModes.exists(Set("dsv2_longonly", "dsv2_longonly_rows")) &&
+        !new java.io.File(s"$catalogRoot/longs/commits").exists()) {
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("fsstspark-longcat-gen")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("ERROR")
+      val n = 20000000L
+      val kv = spark.range(0, n, 1, 32).select(
+        concat(lit("k"), lpad(col("id").cast("string"), 10, "0")).as("key"),
+        (col("id") * 2654435761L % 1000003L).as("value")).as[fsstspark.pipeline.LongKV]
+      val io = new fsstspark.io.ParquetTableIO(catalogRoot)
+      io.writeChunks(EncodePipeline.encodeLongs(kv, "v",
+        expr("cast(substring(key, 2, 10) as bigint) div 1000000")), "longs")
+      spark.stop()
+      println(s"[scaling] longs catalog written: $catalogRoot/longs")
     }
 
     val out = scala.collection.mutable.LinkedHashMap.empty[(Int, String), (Double, Long)]
@@ -130,7 +153,29 @@ object ScalingBench {
             new fsstspark.io.ParquetTableIO(catalogRoot).readChunks(spark, "pages"),
             Seq(EncodePipeline.ReadSpec("text"), EncodePipeline.ReadSpec("html")))
             .agg(sum(octet_length(col("text"))) + sum(octet_length(col("html"))))
-            .head().getLong(0))
+            .head().getLong(0)),
+        // long-column scan through the connector, columnar (auto) vs rows —
+        // sum() is NOT a pushed aggregate, so the scan carries every value;
+        // bytes reported = 8 per row
+        "dsv2_long" -> (() => // % keeps the 200k-row sum inside a long
+          8L * spark.read.format("fsst")
+            .option("root", catalogRoot).option("table", "pages").load()
+            .groupBy().agg(sum(col("ts") % 1000000L), count(col("ts"))).head().getLong(1)),
+        "dsv2_long_rows" -> (() =>
+          8L * spark.read.format("fsst")
+            .option("root", catalogRoot).option("table", "pages")
+            .option("columnar", "off").load()
+            .groupBy().agg(sum(col("ts") % 1000000L), count(col("ts"))).head().getLong(1)),
+        // longs-only catalog (1M rows/chunk): columnar's best case
+        "dsv2_longonly" -> (() =>
+          8L * spark.read.format("fsst")
+            .option("root", catalogRoot).option("table", "longs").load()
+            .groupBy().agg(sum(col("v")), count(col("v"))).head().getLong(1)),
+        "dsv2_longonly_rows" -> (() =>
+          8L * spark.read.format("fsst")
+            .option("root", catalogRoot).option("table", "longs")
+            .option("columnar", "off").load()
+            .groupBy().agg(sum(col("v")), count(col("v"))).head().getLong(1))
       )
       for ((mode, runOnce) <- modes if wantModes(mode)) {
         val bytesIn = runOnce() // warmup, untimed
@@ -161,7 +206,8 @@ object ScalingBench {
     }
     val cs = cpuLevels.sorted
     if (cs.length >= 2) {
-      for (mode <- Seq("scan", "local", "shuffle", "shuffle_pregroup", "dsv2", "dsv2_typed") if wantModes(mode)) {
+      for (mode <- Seq("scan", "local", "shuffle", "shuffle_pregroup", "dsv2", "dsv2_typed",
+          "dsv2_long", "dsv2_long_rows", "dsv2_longonly", "dsv2_longonly_rows") if wantModes(mode)) {
         val (tLow, _) = out((cs.head, mode))
         val (tHigh, bytes) = out((cs.last, mode))
         val factor = cs.last.toDouble / cs.head

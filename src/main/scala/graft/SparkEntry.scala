@@ -69,6 +69,7 @@ object SparkEntry {
     "dsv2_readback" -> (Queries.dsv2Readback _),
     "dsv2_pushdown" -> (Queries.dsv2Pushdown _),
     "dsv2_streaming" -> (Queries.dsv2Streaming _),
+    "dsv2_eq_pushdown" -> (Queries.dsv2EqPushdown _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -157,6 +158,15 @@ object SparkEntry {
            '</h1><p>' || text || '</p></body></html>') AS html_md5,
          CAST(1577836800000000 + doc_id * 1000000 AS BIGINT) AS ts_us
          FROM documents ORDER BY url""",
+    // reader-level equality pushdown (selectEquals) over the min lang
+    "dsv2_eq_pushdown" ->
+      """WITH t AS (SELECT min(lang) AS lang FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+                min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
+                max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key,
+                (SELECT lang FROM t) AS lang
+         FROM documents WHERE lang = (SELECT lang FROM t)""",
     // streaming read of the catalog: exactly-once delivery of both appends
     "dsv2_streaming" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

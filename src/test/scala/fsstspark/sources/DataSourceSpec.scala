@@ -312,6 +312,69 @@ class DataSourceSpec extends AnyFunSuite {
     assert(delivered().count() == df.count())
   }
 
+  test("byte-column equality answers from chunk structure (selectEquals in the reader)") {
+    val root = freshRoot()
+    // add a low-cardinality lang column (dict codec) alongside text
+    val df = spark.read.parquet(s"$sf/documents.parquet").select(
+      concat(lit("https://"), col("source"), lit("/doc/"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+      col("text"), col("lang"))
+    val io = new ParquetTableIO(root)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), Seq(
+      ColSpec("text", encode(col("text"), "UTF-8")),
+      ColSpec("lang", encode(col("lang"), "UTF-8"))), 16L << 10), "docs")
+    val got = spark.read.format("fsst").option("root", root).option("table", "docs")
+      .option("stringColumns", "text,lang").load()
+    val someLang = df.select(min("lang")).collect()(0).getString(0)
+    val want = df.filter(col("lang") === someLang)
+      .agg(count(lit(1)), sum(length(col("text")))).collect()(0)
+    val res = got.filter(col("lang") === someLang)
+      .agg(count(lit(1)), sum(length(col("text")))).collect()(0)
+    assert(res == want, s"eq pushdown result $res != $want")
+    // the filter is reported pushed (reader-level structural answer)
+    val planStr = got.filter(col("lang") === someLang).queryExecution.executedPlan.toString
+    assert(planStr.contains("EqualTo(lang"), s"lang equality not pushed:\n$planStr")
+    // a value present in NO chunk returns zero rows (all chunks skipped
+    // structurally — dict miss, no decode)
+    assert(got.filter(col("lang") === "zz-none").count() == 0)
+    // conjunction of two eq filters on different columns still exact
+    val oneText = df.filter(col("lang") === someLang).select("text").collect()(0).getString(0)
+    val n2 = got.filter(col("lang") === someLang && col("text") === oneText).count()
+    assert(n2 == df.filter(col("lang") === someLang && col("text") === oneText).count())
+  }
+
+  test("columnar reads are opt-in: default rows; auto vectorizes fixed-width; all forces vectors") {
+    val root = freshRoot()
+    writeTable(pagesDf, root, "pages")
+    val got = spark.read.format("fsst").option("root", root).option("table", "pages").load()
+    // AQE finalizes the physical plan at execution: run, THEN inspect
+    def executedPlanOf(d: org.apache.spark.sql.DataFrame): String = {
+      d.collect(); d.queryExecution.executedPlan.toString
+    }
+    // default is the measured winner: rows everywhere (BASELINE.md r4b)
+    val defPlan = executedPlanOf(got.groupBy().sum("ts"))
+    assert(!defPlan.contains("ColumnarToRow"), s"default scan should be row-based:\n$defPlan")
+    // columnar=auto vectorizes fixed-width projections only; sum is NOT a
+    // pushed aggregate, so the scan really carries the rows
+    val auto = spark.read.format("fsst").option("root", root).option("table", "pages")
+      .option("columnar", "auto").load()
+    val sumDf = auto.groupBy().sum("ts")
+    val dataPlan = executedPlanOf(sumDf)
+    assert(dataPlan.contains("ColumnarToRow"), s"auto fixed-width scan not columnar:\n$dataPlan")
+    assert(sumDf.collect()(0) == pagesDf.groupBy().sum("ts").collect()(0))
+    val textPlan = executedPlanOf(auto.select("text", "ts"))
+    assert(!textPlan.contains("ColumnarToRow"), s"auto byte scan should be row-based:\n$textPlan")
+    // columnar=all forces vectors even for byte columns (results identical)
+    val all = spark.read.format("fsst").option("root", root).option("table", "pages")
+      .option("columnar", "all").load()
+    assert(executedPlanOf(all.select("text", "ts")).contains("ColumnarToRow"))
+    assert(all.agg(sum(octet_length(col("text")))).collect()(0) ==
+      got.agg(sum(octet_length(col("text")))).collect()(0))
+    // metadata-only scans (pushed aggregate) have no columnar batch to build
+    val aggPlan = got.agg(min("ts")).queryExecution.executedPlan.toString
+    assert(aggPlan.contains("PushedAggregates") && !aggPlan.contains("ColumnarToRow"))
+  }
+
   test("tombstoned chunks are invisible to the connector") {
     val root = freshRoot()
     val df = pagesDf
