@@ -592,23 +592,31 @@ private[sources] object FsstScan {
     (parts, totalRows, totalBytes)
   }
 
-  /** Whole-value equality filters on byte/string columns, handed to the
-    * READER: [[BytesCodec.selectEquals]] answers them from chunk
-    * structure (dict membership / RLE run headers / FSST encoded-probe),
-    * skipping non-matching chunks without decoding and emitting only
-    * matching rows — and since a matched row's value IS the target, the
-    * filtered column itself is never decoded at all.
+  /** Whole-value equality / IN-list filters on byte/string columns,
+    * handed to the READER: [[BytesCodec.selectEquals]] answers them from
+    * chunk structure (dict membership / RLE run headers / FSST
+    * encoded-probe), skipping non-matching chunks without decoding and
+    * emitting only matching rows — and since every matched row's value
+    * IS one specific target, the filtered column itself is never decoded
+    * at all (IN-lists map each matched index to its target).
     */
-  def byteEqFilters(filters: Array[Filter], tableSchema: StructType): Array[ColEquals] =
+  def byteEqFilters(filters: Array[Filter], tableSchema: StructType): Array[ColEquals] = {
+    def isByteCol(c: String) = tableSchema.fields.exists(f => f.name == c && f.name != "key" &&
+      (f.dataType == BinaryType || f.dataType == StringType))
+    def bytesOf(v: Any): Option[Array[Byte]] = v match {
+      case s: String => Some(s.getBytes("UTF-8"))
+      case b: Array[Byte] => Some(b)
+      case _ => None
+    }
     filters.collect {
-      case EqualTo(c, v) if tableSchema.fields.exists(f => f.name == c && f.name != "key" &&
-          (f.dataType == BinaryType || f.dataType == StringType)) =>
-        v match {
-          case s: String => Some(ColEquals(c, s.getBytes("UTF-8")))
-          case b: Array[Byte] => Some(ColEquals(c, b))
-          case _ => None
-        }
+      case EqualTo(c, v) if isByteCol(c) => bytesOf(v).map(t => ColEquals(c, Array(t)))
+      case In(c, vs) if isByteCol(c) && vs.nonEmpty =>
+        val ts = vs.flatMap(bytesOf)
+        // every IN member must convert, else the reader would silently
+        // drop rows matching the unconverted member
+        if (ts.length == vs.length) Some(ColEquals(c, ts)) else None
     }.flatten
+  }
 
   /** Filters this source can use for chunk pruning. */
   def prunable(f: Filter, longOrDouble: Set[String]): Boolean = f match {
@@ -618,8 +626,27 @@ private[sources] object FsstScan {
     case GreaterThanOrEqual(a, _) => a == "key" || longOrDouble.contains(a)
     case LessThan(a, _) => a == "key" || longOrDouble.contains(a)
     case LessThanOrEqual(a, _) => a == "key" || longOrDouble.contains(a)
-    case In(a, vs) => (a == "key" || longOrDouble.contains(a)) && vs.nonEmpty
+    case In(a, vs) => vs.nonEmpty && (a == "key" || longOrDouble.contains(a) ||
+      vs.forall(v => v.isInstanceOf[String] || v.isInstanceOf[Array[Byte]]))
+    case StringStartsWith("key", _) => true
     case _ => false
+  }
+
+  /** Smallest string (code-point order) strictly greater than EVERY
+    * string with prefix `p`: increment p's last code point (skipping the
+    * surrogate gap). None when no such bound exists (all-max prefix).
+    */
+  private[sources] def nextAfterPrefix(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      val out = cps.take(i + 1); out(i) = next
+      Some(new String(out, 0, i + 1))
+    }
   }
 
   def references(f: Filter): Seq[String] = f match {
@@ -647,6 +674,11 @@ private[sources] object FsstScan {
         case v: String => Keys.compareUtf8(minKey, v) <= 0 && Keys.compareUtf8(maxKey, v) >= 0
         case _ => true
       }
+      // keys with prefix p lie in [p, nextAfterPrefix(p)): the chunk
+      // survives iff its [min,max] range intersects that interval
+      case StringStartsWith("key", p) =>
+        Keys.compareUtf8(maxKey, p) >= 0 && nextAfterPrefix(p).forall(q =>
+          Keys.compareUtf8(minKey, q) < 0)
       case _ => true
     }
 
@@ -686,8 +718,10 @@ private[sources] object FsstScan {
     }
 }
 
-/** One byte-equality filter the reader answers structurally. */
-final case class ColEquals(column: String, target: Array[Byte])
+/** One byte-equality / IN-list filter the reader answers structurally:
+  * a row matches iff its value equals SOME target.
+  */
+final case class ColEquals(column: String, targets: Array[Array[Byte]])
 
 final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguration,
     eqFilters: Array[ColEquals] = Array.empty, columnarMode: String = "auto")
@@ -743,7 +777,8 @@ private[sources] final case class DecodedChunk(
     keys: Array[Array[Byte]],
     bytesCols: Array[Array[Array[Byte]]],
     longCols: Array[LongCodec.LongColumn],
-    eqTargets: java.util.HashMap[String, Array[Byte]])
+    /** per eq-answered column: matched row index → the target it equals */
+    eqTargets: java.util.HashMap[String, java.util.HashMap[Integer, Array[Byte]]])
 
 /** Decodes one chunk group: per fetched column, the chunks' blob rows
   * come out of ONE parquet file (projection = 2–3 fields, `chunk_id IN`
@@ -810,14 +845,27 @@ private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGr
       // never decoded (a matched row's value IS the target)
       var selected: Array[Int] = null // null = every row
       var skipChunk = false
-      val eqTarget = new java.util.HashMap[String, Array[Byte]]()
+      val eqTarget = new java.util.HashMap[String, java.util.HashMap[Integer, Array[Byte]]]()
       eqApplicable.foreach { e =>
         if (!skipChunk) {
-          val (idx, _) = BytesCodec.selectEquals(blobs(colOf(e.column))._2, e.target)
-          eqTarget.put(e.column, e.target)
+          // a row matches iff it equals SOME target; each matched index
+          // maps to its (unique) target, so the column never decodes
+          val perIdx = new java.util.HashMap[Integer, Array[Byte]]()
+          e.targets.foreach { t =>
+            val (idx, _) = BytesCodec.selectEquals(blobs(colOf(e.column))._2, t)
+            idx.foreach(i => perIdx.put(i, t))
+          }
+          eqTarget.put(e.column, perIdx)
+          val mine = {
+            val a = new Array[Int](perIdx.size)
+            var j = 0
+            val it = perIdx.keySet().iterator()
+            while (it.hasNext) { a(j) = it.next(); j += 1 }
+            java.util.Arrays.sort(a); a
+          }
           selected =
-            if (selected == null) idx
-            else selected.filter(java.util.Arrays.binarySearch(idx, _) >= 0)
+            if (selected == null) mine
+            else selected.filter(i => perIdx.containsKey(i))
           if (selected.isEmpty) skipChunk = true
         }
       }
@@ -888,7 +936,7 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
             arr(fi) =
               if (f.name == "key") UTF8String.fromBytes(d.keys(ri))
               else if (d.eqTargets.containsKey(f.name)) {
-                val t = d.eqTargets.get(f.name)
+                val t = d.eqTargets.get(f.name).get(ri)
                 if (f.dataType == StringType) UTF8String.fromBytes(t) else t
               } else {
                 val i = dec.colOf(f.name)
@@ -950,8 +998,11 @@ final class ChunkGroupColumnarReader(schema: StructType, part: ChunkGroupPartiti
       if (f.name == "key") {
         while (j < m) { val b = d.keys(d.emit(j)); v.putByteArray(j, b, 0, b.length); j += 1 }
       } else if (d.eqTargets.containsKey(f.name)) {
-        val t = d.eqTargets.get(f.name)
-        while (j < m) { v.putByteArray(j, t, 0, t.length); j += 1 }
+        val perIdx = d.eqTargets.get(f.name)
+        while (j < m) {
+          val t = perIdx.get(d.emit(j))
+          v.putByteArray(j, t, 0, t.length); j += 1
+        }
       } else {
         val i = dec.colOf(f.name)
         f.dataType match {

@@ -375,6 +375,50 @@ class DataSourceSpec extends AnyFunSuite {
     assert(aggPlan.contains("PushedAggregates") && !aggPlan.contains("ColumnarToRow"))
   }
 
+  test("IN-lists on byte columns answer structurally; key prefixes prune chunks") {
+    val root = freshRoot()
+    val df = spark.read.parquet(s"$sf/documents.parquet").select(
+      concat(lit("https://"), col("source"), lit("/doc/"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+      col("text"), col("lang"))
+    val io = new ParquetTableIO(root)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df.orderBy("url").coalesce(1),
+      col("url"), Seq(
+        ColSpec("text", encode(col("text"), "UTF-8")),
+        ColSpec("lang", encode(col("lang"), "UTF-8"))), 8L << 10), "docs")
+    val got = spark.read.format("fsst").option("root", root).option("table", "docs")
+      .option("stringColumns", "text,lang").load()
+    // IN-list: rows carry each member's own value (per-index target map)
+    val langs = df.select("lang").distinct().orderBy("lang").collect().map(_.getString(0))
+    val two = langs.take(2).toSeq
+    val want = df.filter(col("lang").isin(two: _*)).groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val res = got.filter(col("lang").isin(two: _*)).groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res == want, s"IN-list mismatch: $res != $want")
+    // key prefix pruning: urls share per-source prefixes; a one-source
+    // prefix must prune chunks on the sorted table
+    val src = df.select("url").orderBy("url").collect()(0).getString(0).split("/doc/")(0)
+    val tbl = FsstDataSource.resolve(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root, "table", "docs")))
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val sb = new FsstScanBuilder(root, "docs", tbl.schema(), 8)
+      sb.pruneColumns(StructType(Seq(StructField("key", StringType))))
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[FsstScan].planInputPartitions()
+        .map(_.asInstanceOf[ChunkGroupPartition].chunkIds.length).sum
+    }
+    val total = planned(Array.empty)
+    val pruned = planned(Array(org.apache.spark.sql.sources.StringStartsWith("key", src)))
+    assert(pruned < total, s"prefix pruned nothing: $pruned of $total")
+    val nWant = df.filter(col("url").startsWith(src)).count()
+    assert(got.filter(col("key").startsWith(src)).count() == nWant)
+    // nextAfterPrefix edges
+    assert(FsstScan.nextAfterPrefix("ab") == Some("ac"))
+    assert(FsstScan.nextAfterPrefix("a퟿").contains("a"))
+    assert(FsstScan.nextAfterPrefix(new String(Array(0x10FFFF), 0, 1)).isEmpty)
+  }
+
   test("tombstoned chunks are invisible to the connector") {
     val root = freshRoot()
     val df = pagesDf
