@@ -434,6 +434,159 @@ object BytesCodec {
     }
   }
 
+  /** Multi-target [[selectEquals]] in ONE structural pass: rows whose
+    * value equals SOME target, with the matching target's ordinal per
+    * row. Same per-codec strategy, but the chunk is scanned once for the
+    * whole IN-list instead of once per member — dict entries resolve to
+    * a target ordinal during the single dictionary walk, RLE run headers
+    * compare against all k targets per RUN, FSST deserializes the table
+    * and scans the length prefixes once with all k probes pre-encoded,
+    * RAW decodes once. Duplicate targets resolve to the first ordinal.
+    *
+    * Returns (matching row indices ascending, target ordinal per index,
+    * value-payload bytes read).
+    */
+  def selectEqualsIn(blob: Array[Byte], targets: Array[Array[Byte]]): (Array[Int], Array[Int], Long) = {
+    require(targets != null && targets.nonEmpty && targets.forall(_ != null),
+      "selectEqualsIn targets must be non-null and non-empty")
+    val r = new ByteReader(blob)
+    val codec = r.readByte()
+    val n = r.readVarInt()
+    require(n >= 0 && n <= MaxDecodedRows,
+      s"corrupt bytes blob: value count $n implausible for ${blob.length}-byte blob")
+    if (codec == RAW || codec == FSST) require(n <= blob.length,
+      s"corrupt bytes blob: $n values need ≥$n length bytes, blob has ${blob.length}")
+    val k = targets.length
+    @inline def ordOf(pos: Int, len: Int): Int = {
+      var t = 0
+      while (t < k) {
+        if (targets(t).length == len && regionEquals(blob, pos, targets(t))) return t
+        t += 1
+      }
+      -1
+    }
+    val idxOut = new java.util.ArrayList[Integer]()
+    val ordOut = new java.util.ArrayList[Integer]()
+    codec match {
+      case DICT =>
+        val nDict = r.readVarInt()
+        require(nDict >= 0 && nDict <= r.remaining, s"corrupt dict blob: $nDict entries")
+        val dictOrd = new Array[Int](nDict) // dict id -> target ordinal, -1 = no match
+        var any = false
+        var bytesRead = 0L
+        var i = 0
+        while (i < nDict) {
+          val len = r.readVarInt()
+          require(len >= 0 && r.pos + len <= blob.length, s"corrupt dict blob: entry $i")
+          bytesRead += len
+          dictOrd(i) = ordOf(r.pos, len)
+          if (dictOrd(i) >= 0) any = true
+          r.pos += len
+          i += 1
+        }
+        if (!any) (Array.emptyIntArray, Array.emptyIntArray, bytesRead)
+        else {
+          val width = r.readByte()
+          require(width > 0 || nDict == 0, s"corrupt dict blob: zero width with $nDict entries")
+          require(BitPacker.packedSize(n, width) <= r.remaining, "corrupt dict blob: packed ids")
+          val ids = new Array[Long](n)
+          BitPacker.unpack(blob, r.pos, n, width, ids)
+          bytesRead += BitPacker.packedSize(n, width)
+          i = 0
+          while (i < n) {
+            val id = ids(i).toInt
+            require(id >= 0 && id < nDict, s"corrupt dict blob: id $id at row $i")
+            if (dictOrd(id) >= 0) { idxOut.add(i); ordOut.add(dictOrd(id)) }
+            i += 1
+          }
+          (toIntArray(idxOut), toIntArray(ordOut), bytesRead)
+        }
+      case RLE =>
+        var bytesRead = 0L
+        var i = 0
+        while (i < n) {
+          val runLen = r.readVarInt()
+          require(runLen > 0 && runLen <= n - i, s"corrupt rle blob: run length $runLen at row $i/$n")
+          val l = r.readVarInt()
+          if (l > 0) {
+            val len = l - 1
+            require(r.pos + len <= blob.length, s"corrupt rle blob: run value past end")
+            bytesRead += len
+            val ord = ordOf(r.pos, len)
+            if (ord >= 0) {
+              var j = 0
+              while (j < runLen) { idxOut.add(i + j); ordOut.add(ord); j += 1 }
+            }
+            r.pos += len
+          }
+          i += runLen
+        }
+        (toIntArray(idxOut), toIntArray(ordOut), bytesRead)
+      case FSST =>
+        val tLen = r.readVarInt()
+        require(tLen >= 0 && tLen <= r.remaining, s"corrupt fsst blob: table length $tLen")
+        val table = SymbolTable.deserialize(r.readBytes(tLen))
+        val orig = r.readVarLong()
+        require(orig >= 0 && orig <= 8L * blob.length,
+          s"corrupt fsst blob: declared size $orig out of range for ${blob.length}-byte blob")
+        val lens = new Array[Int](n)
+        var i = 0
+        while (i < n) { lens(i) = r.readVarInt(); i += 1 }
+        val enc = table.newEncoder()
+        // every probe encoded once; compare encoded bytes per prefix match
+        val probes = new Array[Array[Byte]](k)
+        var t = 0
+        while (t < k) {
+          val buf = new Array[Byte](Fsst.maxEncodedSize(targets(t).length))
+          val len = enc.encode(targets(t), 0, targets(t).length, buf, 0)
+          probes(t) = java.util.Arrays.copyOf(buf, len)
+          t += 1
+        }
+        var bytesRead = tLen.toLong
+        var sp = r.pos
+        i = 0
+        while (i < n) {
+          if (lens(i) > 0) {
+            val encLen = lens(i) - 1
+            require(encLen >= 0 && sp + encLen <= blob.length,
+              s"corrupt fsst blob: value $i claims $encLen encoded bytes past blob end")
+            var ord = -1
+            t = 0
+            while (ord < 0 && t < k) {
+              if (probes(t).length == encLen) {
+                bytesRead += encLen
+                if (java.util.Arrays.equals(blob, sp, sp + encLen, probes(t), 0, encLen)) ord = t
+              }
+              t += 1
+            }
+            if (ord >= 0) { idxOut.add(i); ordOut.add(ord) }
+            sp += encLen
+          }
+          i += 1
+        }
+        (toIntArray(idxOut), toIntArray(ordOut), bytesRead)
+      case _ =>
+        val values = decode(blob)
+        var bytesRead = 0L
+        var i = 0
+        while (i < values.length) {
+          val v = values(i)
+          if (v != null) {
+            bytesRead += v.length
+            var ord = -1
+            var t = 0
+            while (ord < 0 && t < k) {
+              if (java.util.Arrays.equals(v, targets(t))) ord = t
+              t += 1
+            }
+            if (ord >= 0) { idxOut.add(i); ordOut.add(ord) }
+          }
+          i += 1
+        }
+        (toIntArray(idxOut), toIntArray(ordOut), bytesRead)
+    }
+  }
+
   @inline private def regionEquals(blob: Array[Byte], pos: Int, target: Array[Byte]): Boolean =
     java.util.Arrays.equals(blob, pos, pos + target.length, target, 0, target.length)
 

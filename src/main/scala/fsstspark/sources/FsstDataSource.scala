@@ -160,7 +160,7 @@ object FsstDataSource {
 }
 
 final class FsstTable(root: String, tableName: String, tableSchema: StructType,
-    chunksPerPartition: Int, columnarMode: String = "auto") extends Table with SupportsRead {
+    chunksPerPartition: Int, columnarMode: String = "off") extends Table with SupportsRead {
   override def name(): String = s"fsst.`$root`.`$tableName`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -182,7 +182,7 @@ private[sources] final case class MinMaxSpec(column: String, isMin: Boolean,
     dataType: DataType) extends AggSpec
 
 final class FsstScanBuilder(root: String, table: String, tableSchema: StructType,
-    chunksPerPartition: Int, columnarMode: String = "auto")
+    chunksPerPartition: Int, columnarMode: String = "off")
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -308,7 +308,7 @@ final case class AggRowPartition(values: Array[Any]) extends InputPartition
 
 final class FsstScan(root: String, table: String, tableSchema: StructType,
     required: StructType, filters: Array[Filter], chunksPerPartition: Int,
-    agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "auto")
+    agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "off")
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
@@ -418,7 +418,8 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FsstMicroBatchStream(root, table, tableSchema, required, filters, chunksPerPartition)
+    new FsstMicroBatchStream(root, table, tableSchema, required, filters, chunksPerPartition,
+      columnarMode)
 }
 
 /** Stream offset = the greatest committed batch id included so far.
@@ -454,7 +455,8 @@ final case class FsstOffset(batch: String)
   * ([[FsstScan.planFromManifest]]).
   */
 final class FsstMicroBatchStream(root: String, table: String, tableSchema: StructType,
-    required: StructType, filters: Array[Filter], chunksPerPartition: Int)
+    required: StructType, filters: Array[Filter], chunksPerPartition: Int,
+    columnarMode: String = "off")
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -506,7 +508,9 @@ final class FsstMicroBatchStream(root: String, table: String, tableSchema: Struc
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    new FsstReaderFactory(required, conf)
+    // same eq-pushdown + columnar policy as the batch scan
+    new FsstReaderFactory(required, conf, FsstScan.byteEqFilters(filters, tableSchema),
+      columnarMode)
   }
 }
 
@@ -724,7 +728,7 @@ private[sources] object FsstScan {
 final case class ColEquals(column: String, targets: Array[Array[Byte]])
 
 final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguration,
-    eqFilters: Array[ColEquals] = Array.empty, columnarMode: String = "auto")
+    eqFilters: Array[ColEquals] = Array.empty, columnarMode: String = "off")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -773,12 +777,17 @@ final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguratio
   * eq-answered or of the other kind).
   */
 private[sources] final case class DecodedChunk(
+    nRows: Int,
+    /** row indices to surface; null = every row (no eq filter applied) */
     emit: Array[Int],
     keys: Array[Array[Byte]],
     bytesCols: Array[Array[Array[Byte]]],
     longCols: Array[LongCodec.LongColumn],
     /** per eq-answered column: matched row index → the target it equals */
-    eqTargets: java.util.HashMap[String, java.util.HashMap[Integer, Array[Byte]]])
+    eqTargets: java.util.HashMap[String, java.util.HashMap[Integer, Array[Byte]]]) {
+  def emitCount: Int = if (emit == null) nRows else emit.length
+  @inline def rowAt(j: Int): Int = if (emit == null) j else emit(j)
+}
 
 /** Decodes one chunk group: per fetched column, the chunks' blob rows
   * come out of ONE parquet file (projection = 2–3 fields, `chunk_id IN`
@@ -848,23 +857,16 @@ private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGr
       val eqTarget = new java.util.HashMap[String, java.util.HashMap[Integer, Array[Byte]]]()
       eqApplicable.foreach { e =>
         if (!skipChunk) {
-          // a row matches iff it equals SOME target; each matched index
-          // maps to its (unique) target, so the column never decodes
+          // one structural pass resolves the whole IN-list: a row matches
+          // iff it equals SOME target, and each matched index maps to its
+          // target, so the column never decodes
+          val (idx, ords, _) = BytesCodec.selectEqualsIn(blobs(colOf(e.column))._2, e.targets)
           val perIdx = new java.util.HashMap[Integer, Array[Byte]]()
-          e.targets.foreach { t =>
-            val (idx, _) = BytesCodec.selectEquals(blobs(colOf(e.column))._2, t)
-            idx.foreach(i => perIdx.put(i, t))
-          }
+          var j = 0
+          while (j < idx.length) { perIdx.put(idx(j), e.targets(ords(j))); j += 1 }
           eqTarget.put(e.column, perIdx)
-          val mine = {
-            val a = new Array[Int](perIdx.size)
-            var j = 0
-            val it = perIdx.keySet().iterator()
-            while (it.hasNext) { a(j) = it.next(); j += 1 }
-            java.util.Arrays.sort(a); a
-          }
           selected =
-            if (selected == null) mine
+            if (selected == null) idx
             else selected.filter(i => perIdx.containsKey(i))
           if (selected.isEmpty) skipChunk = true
         }
@@ -898,11 +900,11 @@ private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGr
           k
         } else null
         if (n < 0) n = part.nRows(chunkIdx).toInt // only eq columns fetched
-        val emit: Array[Int] =
-          if (selected == null) Array.range(0, n)
-          else { require(selected.isEmpty || selected.last < n,
-            s"chunk $cid: selectEquals index ${selected.last} out of $n rows"); selected }
-        Iterator.single(DecodedChunk(emit, keys, decodedBytes, decodedLongs, eqTarget))
+        // emit == null = every row (the common no-eq-filter path pays no
+        // index array and no indirection)
+        if (selected != null) require(selected.isEmpty || selected.last < n,
+          s"chunk $cid: selectEquals index ${selected.last} out of $n rows")
+        Iterator.single(DecodedChunk(n, selected, keys, decodedBytes, decodedLongs, eqTarget))
       }
     }
   }
@@ -928,7 +930,8 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
     else {
       val dec = new ChunkGroupDecoder(schema, part, conf, eqFilters)
       dec.decodedChunks().flatMap { d =>
-        d.emit.iterator.map { ri =>
+        Iterator.tabulate(d.emitCount) { j =>
+          val ri = d.rowAt(j)
           val arr = new Array[Any](fields.length)
           var fi = 0
           while (fi < fields.length) {
@@ -991,16 +994,16 @@ final class ChunkGroupColumnarReader(schema: StructType, part: ChunkGroupPartiti
     if (current != null) { current.close(); current = null }
     if (!chunks.hasNext) return false
     val d = chunks.next()
-    val m = d.emit.length
+    val m = d.emitCount
     val vectors = fields.map { f =>
       val v = new OnHeapColumnVector(m, f.dataType)
       var j = 0
       if (f.name == "key") {
-        while (j < m) { val b = d.keys(d.emit(j)); v.putByteArray(j, b, 0, b.length); j += 1 }
+        while (j < m) { val b = d.keys(d.rowAt(j)); v.putByteArray(j, b, 0, b.length); j += 1 }
       } else if (d.eqTargets.containsKey(f.name)) {
         val perIdx = d.eqTargets.get(f.name)
         while (j < m) {
-          val t = perIdx.get(d.emit(j))
+          val t = perIdx.get(d.rowAt(j))
           v.putByteArray(j, t, 0, t.length); j += 1
         }
       } else {
@@ -1009,20 +1012,20 @@ final class ChunkGroupColumnarReader(schema: StructType, part: ChunkGroupPartiti
           case LongType =>
             val c = d.longCols(i)
             while (j < m) {
-              val ri = d.emit(j)
+              val ri = d.rowAt(j)
               if (c.nulls(ri)) v.putNull(j) else v.putLong(j, c.values(ri)); j += 1
             }
           case DoubleType =>
             val c = d.longCols(i)
             while (j < m) {
-              val ri = d.emit(j)
+              val ri = d.rowAt(j)
               if (c.nulls(ri)) v.putNull(j)
               else v.putDouble(j, java.lang.Double.longBitsToDouble(c.values(ri))); j += 1
             }
           case _ => // StringType and BinaryType both store byte arrays
             val col = d.bytesCols(i)
             while (j < m) {
-              val b = col(d.emit(j))
+              val b = col(d.rowAt(j))
               if (b == null) v.putNull(j) else v.putByteArray(j, b, 0, b.length); j += 1
             }
         }

@@ -55,8 +55,9 @@ object ScalingBench {
     // encoded catalog shared by the read modes (dsv2 connector vs typed
     // decodeColumns): built once from the same corpus
     val catalogRoot = corpusDir + "_catalog_v2"
-    val readModes = Set("dsv2", "dsv2_typed", "dsv2_long", "dsv2_long_rows",
-      "dsv2_longonly", "dsv2_longonly_rows")
+    // pages catalog only for the modes that read it — a longonly-only run
+    // must not pay the full corpus encode
+    val readModes = Set("dsv2", "dsv2_typed", "dsv2_long", "dsv2_long_rows")
     if (wantModes.exists(readModes) &&
         !new java.io.File(s"$catalogRoot/pages/commits").exists()) {
       val spark = SparkSession.builder().master("local[32]")
@@ -154,12 +155,13 @@ object ScalingBench {
             Seq(EncodePipeline.ReadSpec("text"), EncodePipeline.ReadSpec("html")))
             .agg(sum(octet_length(col("text"))) + sum(octet_length(col("html"))))
             .head().getLong(0)),
-        // long-column scan through the connector, columnar (auto) vs rows —
-        // sum() is NOT a pushed aggregate, so the scan carries every value;
-        // bytes reported = 8 per row
+        // long-column scan through the connector, columnar (explicit auto —
+        // the DEFAULT is off after this A/B) vs rows — sum() is NOT a
+        // pushed aggregate, so the scan carries every value; bytes = 8/row
         "dsv2_long" -> (() => // % keeps the 200k-row sum inside a long
           8L * spark.read.format("fsst")
-            .option("root", catalogRoot).option("table", "pages").load()
+            .option("root", catalogRoot).option("table", "pages")
+            .option("columnar", "auto").load()
             .groupBy().agg(sum(col("ts") % 1000000L), count(col("ts"))).head().getLong(1)),
         "dsv2_long_rows" -> (() =>
           8L * spark.read.format("fsst")
@@ -169,7 +171,8 @@ object ScalingBench {
         // longs-only catalog (1M rows/chunk): columnar's best case
         "dsv2_longonly" -> (() =>
           8L * spark.read.format("fsst")
-            .option("root", catalogRoot).option("table", "longs").load()
+            .option("root", catalogRoot).option("table", "longs")
+            .option("columnar", "auto").load()
             .groupBy().agg(sum(col("v")), count(col("v"))).head().getLong(1)),
         "dsv2_longonly_rows" -> (() =>
           8L * spark.read.format("fsst")

@@ -349,6 +349,40 @@ class CodecSpec extends AnyFunSuite {
     assert(BytesCodec.selectEquals(auto.blob, "de".getBytes(UTF_8))._1.toSeq == Seq(1, 3, 5))
   }
 
+  test("selectEqualsIn: one pass equals the per-target union across every codec") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Array("en", "de", "fr", "zh", "es", "pt", "it", "nl").map(_.getBytes(UTF_8))
+    // values spanning dict-friendly, rle-friendly, fsst-friendly, raw shapes
+    val shapes: Seq[Array[Array[Byte]]] = Seq(
+      Array.tabulate(64)(i => vocab(rnd.nextInt(vocab.length))),              // dict
+      Array.tabulate(64)(i => vocab(i / 16)),                                 // rle
+      Array.tabulate(64)(i => s"the quick brown fox $i jumps".getBytes(UTF_8)), // fsst-ish
+      Array.tabulate(16) { _ => val b = new Array[Byte](64); rnd.nextBytes(b); b } // raw
+    )
+    val encoders: Seq[Array[Array[Byte]] => Array[Byte]] = Seq(
+      BytesCodec.encodeDict, BytesCodec.encodeRle, BytesCodec.encodeFsst,
+      BytesCodec.encodeRaw, vs => BytesCodec.encodeAuto(vs).blob)
+    for (values <- shapes; enc <- encoders) {
+      val blob = enc(values)
+      // target set: two present, one absent, one duplicate of the first
+      val targets = Array(values(1), values(values.length - 1),
+        "absent-value-xyz".getBytes(UTF_8), values(1))
+      val (idx, ords, _) = BytesCodec.selectEqualsIn(blob, targets)
+      // union + per-index ordinal must match per-target selectEquals, with
+      // duplicate targets resolving to the FIRST ordinal
+      val expect = scala.collection.mutable.TreeMap.empty[Int, Int]
+      for (t <- targets.indices; i <- BytesCodec.selectEquals(blob, targets(t))._1)
+        if (!expect.contains(i)) expect(i) = t
+      assert(idx.toSeq == expect.keys.toSeq, s"indices differ for ${values.length}-value shape")
+      assert(idx.zip(ords).toMap == expect.toMap, "target ordinals differ")
+      // sanity: matched rows really equal their assigned target
+      val decoded = BytesCodec.decode(blob)
+      idx.zip(ords).foreach { case (i, o) =>
+        assert(java.util.Arrays.equals(decoded(i), targets(o)))
+      }
+    }
+  }
+
   test("selectEquals FSST: encoded-probe equality without decode on natural text") {
     val lines = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/reference/testdata/en_mobydick.txt")), UTF_8)
