@@ -440,6 +440,19 @@ final class ParquetTableIO(root: String) extends TableIO {
     notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
   }
 
+  /** The manifest as of snapshot `asOf` — the metadata view matching
+    * [[readChunksAsOf]]: batches committed with id <= `asOf`, minus
+    * deletes gated on one of those batches (legacy null-gated tombstones
+    * apply to every snapshot). The connector's snapshot-pinned scans plan
+    * from this.
+    */
+  def manifestAsOf(spark: SparkSession, table: String, asOf: String): DataFrame = {
+    assertNotLegacy(spark, table)
+    val committed = committedBatches(spark, table).filter(_ <= asOf)
+    val m = readManifestRaw(spark, table)
+    notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
+  }
+
   /** Point-read path: the manifest (tiny, driver-collectable hit list)
     * selects both the FILES to open and the CHUNK IDS to keep, so the scan
     * touches only the data files that can contain the key — Iceberg

@@ -803,6 +803,37 @@ object Queries {
       .withColumn("lang", lit(target))
   }
 
+  /** The SQL-catalog surface end-to-end: the chunk catalog registers as
+    * a Spark `TableCatalog` ([[fsstspark.sources.FsstCatalog]]), and the
+    * query runs PURE SQL — name resolution, pushdown-capable scans, and
+    * snapshot time travel via `VERSION AS OF` (batch ids). Two commits
+    * land; the query reads snapshot 1 and the current table through
+    * `spark.sql` only, fully DuckDB-oracled from the commit-membership
+    * predicates.
+    */
+  def dsv2SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-cat-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    def part(pred: Column) = documents(s, dir).filter(pred).select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("k"), col("text"))
+    val specs = Seq(EncodePipeline.ColSpec("text", encode(col("text"), "UTF-8")))
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(
+      part(col("doc_id") % 2 === 0), col("k"), specs, 128L << 10), "docs")
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(
+      part(col("doc_id") % 2 =!= 0), col("k"), specs, 128L << 10), "docs")
+    s.conf.set("spark.sql.catalog.fsst_qcat", "fsstspark.sources.FsstCatalog")
+    s.conf.set("spark.sql.catalog.fsst_qcat.root", root)
+    val batches = io.committedBatchIds(s, "docs").sorted
+    val snap1 = s.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
+          sum(octet_length(text)) AS total_bytes
+          FROM fsst_qcat.docs VERSION AS OF '${batches(0)}'""")
+    val current = s.sql(
+      """SELECT CAST(2 AS BIGINT) AS snap, count(*) AS n_rows,
+         sum(octet_length(text)) AS total_bytes FROM fsst_qcat.docs""")
+    snap1.unionAll(current).orderBy("snap")
+  }
+
   /** Streaming read of the catalog through the connector
     * (`spark.readStream.format("fsst")`): two appends land in the chunk
     * catalog, one Trigger.AvailableNow run drains the commit log into a

@@ -86,8 +86,8 @@ final class FsstDataSource extends TableProvider with DataSourceRegister {
     // commit between the two calls into a schema mismatch)
     val opts = new CaseInsensitiveStringMap(properties)
     if (schema != null && schema.nonEmpty) {
-      val (root, table, _, cpp, columnar) = FsstDataSource.parseOptions(opts)
-      new FsstTable(root, table, schema, cpp, columnar)
+      val o = FsstDataSource.parseOptions(opts)
+      new FsstTable(o.root, o.table, schema, o.chunksPerPartition, o.columnar, o.asOf)
     } else FsstDataSource.resolve(opts)
   }
 
@@ -101,7 +101,14 @@ object FsstDataSource {
     * surfaced as StringType when listed in `stringColumns` (the encode
     * side stored them via `encode(col, "UTF-8")`).
     */
-  private[sources] def parseOptions(options: CaseInsensitiveStringMap): (String, String, Set[String], Int, String) = {
+  /** Parsed connector options. `asOf` pins the scan to a committed
+    * snapshot (a batch id — what SQL `VERSION AS OF` resolves to).
+    */
+  private[sources] final case class FsstOptions(root: String, table: String,
+      stringCols: Set[String], chunksPerPartition: Int, columnar: String,
+      asOf: Option[String])
+
+  private[sources] def parseOptions(options: CaseInsensitiveStringMap): FsstOptions = {
     val path = Option(options.get("path"))
     val (root, table) = (Option(options.get("root")), Option(options.get("table"))) match {
       case (Some(r), Some(t)) => (r, t)
@@ -125,19 +132,22 @@ object FsstDataSource {
     // every data scan.
     val columnar = Option(options.get("columnar")).getOrElse("off")
     require(Set("auto", "off", "all")(columnar), s"columnar must be auto|off|all, got '$columnar'")
-    (root, table, stringCols, chunksPerPartition, columnar)
+    FsstOptions(root, table, stringCols, chunksPerPartition, columnar,
+      Option(options.get("asOf")))
   }
 
   def resolve(options: CaseInsensitiveStringMap): FsstTable = {
-    val (root, table, stringCols, chunksPerPartition, columnar) = parseOptions(options)
+    val o = parseOptions(options)
+    val (root, table) = (o.root, o.table)
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
     require(io.tableExists(spark, table),
       s"fsst table '$table' at '$root' has no committed chunks")
     // one codec name per column suffices for typing: value KIND is constant
     // per column (mixed byte/long codecs in one column is table corruption,
-    // which the reader's codec-id validation rejects loudly)
-    val cols = io.manifest(spark, table)
+    // which the reader's codec-id validation rejects loudly).
+    // A snapshot pin infers its schema from that snapshot's manifest.
+    val cols = o.asOf.map(io.manifestAsOf(spark, table, _)).getOrElse(io.manifest(spark, table))
       .groupBy("column").agg(org.apache.spark.sql.functions.first("codec").as("codec"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -151,22 +161,24 @@ object FsstDataSource {
       val dt =
         if (codec.endsWith(EncodePipeline.DoubleCodecSuffix)) DoubleType
         else if (longNames.contains(codec)) LongType
-        else if (stringCols.contains(name)) StringType
+        else if (o.stringCols.contains(name)) StringType
         else BinaryType
       StructField(name, dt, nullable = true)
     }
-    new FsstTable(root, table, StructType(fields), chunksPerPartition, columnar)
+    new FsstTable(root, table, StructType(fields), o.chunksPerPartition, o.columnar, o.asOf)
   }
 }
 
 final class FsstTable(root: String, tableName: String, tableSchema: StructType,
-    chunksPerPartition: Int, columnarMode: String = "off") extends Table with SupportsRead {
-  override def name(): String = s"fsst.`$root`.`$tableName`"
+    chunksPerPartition: Int, columnarMode: String = "off",
+    asOf: Option[String] = None) extends Table with SupportsRead {
+  override def name(): String =
+    s"fsst.`$root`.`$tableName`" + asOf.map(b => s" AS OF $b").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition, columnarMode)
+    new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition, columnarMode, asOf)
 }
 
 /** One pushed aggregate, reduced to what the manifest can answer:
@@ -182,7 +194,8 @@ private[sources] final case class MinMaxSpec(column: String, isMin: Boolean,
     dataType: DataType) extends AggSpec
 
 final class FsstScanBuilder(root: String, table: String, tableSchema: StructType,
-    chunksPerPartition: Int, columnarMode: String = "off")
+    chunksPerPartition: Int, columnarMode: String = "off",
+    asOf: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -258,7 +271,8 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
   private def statsComplete(cols: Seq[String]): Boolean =
     statsCompleteCache.getOrElseUpdate(cols.sorted, {
       val io = new ParquetTableIO(root)
-      io.manifest(SparkSession.active, table)
+      val spark = SparkSession.active
+      asOf.map(io.manifestAsOf(spark, table, _)).getOrElse(io.manifest(spark, table))
         .filter(org.apache.spark.sql.functions.col("column").isin(cols: _*))
         .filter(org.apache.spark.sql.functions.col("value_min").isNull)
         .isEmpty
@@ -283,7 +297,8 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     }
 
   override def build(): Scan =
-    new FsstScan(root, table, tableSchema, required, pushed, chunksPerPartition, agg, columnarMode)
+    new FsstScan(root, table, tableSchema, required, pushed, chunksPerPartition, agg,
+      columnarMode, asOf)
 }
 
 /** One fetched column of a partition: every chunk in the group has its
@@ -308,8 +323,13 @@ final case class AggRowPartition(values: Array[Any]) extends InputPartition
 
 final class FsstScan(root: String, table: String, tableSchema: StructType,
     required: StructType, filters: Array[Filter], chunksPerPartition: Int,
-    agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "off")
+    agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "off",
+    asOf: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** Every manifest read in this scan honors the snapshot pin. */
+  private def manifestDf(spark: SparkSession, io: ParquetTableIO) =
+    asOf.map(io.manifestAsOf(spark, table, _)).getOrElse(io.manifest(spark, table))
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
   override def toBatch: Batch = this
@@ -334,7 +354,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     val io = new ParquetTableIO(root)
     val anchor = tableSchema.fields(1).name
     val cols = (specs.collect { case MinMaxSpec(c, _, _) if c != "key" => c } :+ anchor).distinct
-    val m = io.manifest(spark, table)
+    val m = manifestDf(spark, io)
       .filter(org.apache.spark.sql.functions.col("column").isin(cols: _*))
       .select("column", "n_rows", "min_key", "max_key", "value_min", "value_max")
       .collect()
@@ -379,7 +399,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       // empty projection, no value filters: count rows straight off the
       // manifest (any single column counts each chunk's rows exactly once)
       val anchor = tableSchema.fields(1).name
-      val rows = io.manifest(spark, table)
+      val rows = manifestDf(spark, io)
         .filter(org.apache.spark.sql.functions.col("column") === anchor)
         .select("chunk_id", "n_rows", "min_key", "max_key")
         .collect()
@@ -389,7 +409,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       }.toArray
       (parts, rows.map(_.getLong(1)).sum, 0L)
     } else {
-      val mAll = io.manifest(spark, table)
+      val mAll = manifestDf(spark, io)
         .select("file", "column", "chunk_id", "n_rows", "bytes_out",
           "min_key", "max_key", "value_min", "value_max")
         .collect()
@@ -417,9 +437,12 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "a snapshot-pinned fsst table cannot be streamed — the pin freezes the commit log")
     new FsstMicroBatchStream(root, table, tableSchema, required, filters, chunksPerPartition,
       columnarMode)
+  }
 }
 
 /** Stream offset = the greatest committed batch id included so far.

@@ -70,6 +70,7 @@ object SparkEntry {
     "dsv2_pushdown" -> (Queries.dsv2Pushdown _),
     "dsv2_streaming" -> (Queries.dsv2Streaming _),
     "dsv2_eq_pushdown" -> (Queries.dsv2EqPushdown _),
+    "dsv2_sql_catalog" -> (Queries.dsv2SqlCatalog _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -167,6 +168,16 @@ object SparkEntry {
                 max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key,
                 (SELECT lang FROM t) AS lang
          FROM documents WHERE lang = (SELECT lang FROM t)""",
+    // SQL catalog + VERSION AS OF: snap1 = batch 1 (even ids), snap2 = all
+    "dsv2_sql_catalog" ->
+      """SELECT CAST(1 AS BIGINT) AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                CAST(sum(strlen(text)) AS BIGINT)
+         FROM documents
+         ORDER BY snap""",
     // streaming read of the catalog: exactly-once delivery of both appends
     "dsv2_streaming" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

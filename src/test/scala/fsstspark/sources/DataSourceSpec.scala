@@ -419,6 +419,43 @@ class DataSourceSpec extends AnyFunSuite {
     assert(FsstScan.nextAfterPrefix(new String(Array(0x10FFFF), 0, 1)).isEmpty)
   }
 
+  test("FsstCatalog: SQL names, SHOW TABLES, VERSION/TIMESTAMP AS OF time travel, read-only") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf
+    val (b1, b2) = (df.filter((col("ts") / 1000) % 2 === 0), df.filter((col("ts") / 1000) % 2 =!= 0))
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(b1, col("url"), pageSpecs, 64L << 10), "pages")
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(b2, col("url"), pageSpecs, 64L << 10), "pages")
+    spark.conf.set("spark.sql.catalog.fsst_cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set("spark.sql.catalog.fsst_cat.root", root)
+    spark.conf.set("spark.sql.catalog.fsst_cat.stringColumns.pages", "text")
+    // plain SQL name resolution + pushdown-capable scan
+    assert(spark.sql("SELECT count(*) FROM fsst_cat.pages").collect()(0).getLong(0) == df.count())
+    assert(spark.sql("SELECT max(ts) FROM fsst_cat.pages").collect()(0).getLong(0) ==
+      df.agg(max("ts")).collect()(0).getLong(0))
+    // per-table stringColumns option applied through the catalog
+    assert(spark.sql("SELECT text FROM fsst_cat.pages LIMIT 1").schema.fields(0).dataType ==
+      StringType)
+    assert(spark.sql("SHOW TABLES IN fsst_cat").collect().map(_.getString(1)).toSet == Set("pages"))
+    // VERSION AS OF the first commit sees ONLY batch 1
+    val batches = io.committedBatchIds(spark, "pages").sorted
+    assert(batches.length == 2)
+    val n1 = spark.sql(s"SELECT count(*) FROM fsst_cat.pages VERSION AS OF '${batches(0)}'")
+      .collect()(0).getLong(0)
+    assert(n1 == b1.count(), s"snapshot 1 has $n1 rows, want ${b1.count()}")
+    // TIMESTAMP AS OF between the two commits resolves to batch 1
+    val millis1 = batches(0).substring(1, 14).toLong
+    val tsLit = java.time.Instant.ofEpochMilli(millis1).toString.stripSuffix("Z")
+    val nTs = spark.sql(
+      s"SELECT count(*) FROM fsst_cat.pages TIMESTAMP AS OF '$tsLit'").collect()(0).getLong(0)
+    assert(nTs == b1.count(), s"timestamp snapshot has $nTs rows, want ${b1.count()}")
+    // read-only: DDL rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE fsst_cat.newtable (a INT) USING fsst")
+    }
+    assert(e.getMessage.contains("read-only"))
+  }
+
   test("tombstoned chunks are invisible to the connector") {
     val root = freshRoot()
     val df = pagesDf
