@@ -364,6 +364,50 @@ final class ParquetTableIO(root: String) extends TableIO {
     commitBatch(spark, table, batch)
   }
 
+  // ------------------------------------------ external-writer surface
+  // The DSv2 write path ([[fsstspark.sources]]) writes chunk parquet
+  // files from EXECUTOR tasks (parquet-hadoop, not a Spark write job),
+  // then commits through the same marker protocol: beginBatch mints the
+  // id, tasks land files under batchColumnDir, commitExternalBatch
+  // appends the manifest rows and flips the marker. A crash anywhere
+  // before the marker leaves an invisible torn batch, exactly like
+  // writeChunks.
+
+  /** Mint a batch for an external writer (commits dir exists from the
+    * first byte of data — see [[writeBatch]]).
+    */
+  def beginBatch(spark: SparkSession, table: String): String = {
+    assertNotLegacy(spark, table)
+    fs(spark, commitsDir(table)).mkdirs(new org.apache.hadoop.fs.Path(commitsDir(table)))
+    mintBatchId(spark, table)
+  }
+
+  /** Directory an external writer's task files for (batch, column) go in. */
+  def batchColumnDir(table: String, batch: String, column: String): String =
+    s"${dataDir(table)}/batch=$batch/column=$column"
+
+  /** Commit an externally-written batch: append its manifest rows (under
+    * the batch's own manifest partition) and flip the commit marker.
+    * `manifest` must carry the manifest schema minus `batch` (file,
+    * column, chunk_id, codec, n_rows, bytes_in, bytes_out, min_key,
+    * max_key, value_min, value_max).
+    */
+  def commitExternalBatch(spark: SparkSession, table: String, batch: String,
+      manifest: DataFrame): Unit = {
+    manifest.withColumn("batch", lit(batch))
+      .write.partitionBy("batch").mode(SaveMode.Append).parquet(manifestDir(table))
+    commitBatch(spark, table, batch)
+  }
+
+  /** Abort an externally-written batch: delete its (uncommitted, hence
+    * invisible) data directory. Idempotent.
+    */
+  def abortBatch(spark: SparkSession, table: String, batch: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${dataDir(table)}/batch=$batch")
+    val f = fs(spark, dataDir(table))
+    if (f.exists(p)) f.delete(p, true)
+  }
+
   /** Full manifest rebuild from the (committed) data files — an explicit
     * repair tool (Iceberg's `repair`/`rewrite_manifests` analogue), NOT
     * part of the append path.

@@ -334,6 +334,40 @@ object EncodePipeline {
     h ^ keys.length
   }
 
+  /** Per-chunk encode entry for EXTERNAL writers (the DSv2 write path):
+    * one call emits a chunk's N per-column [[ChunkResult]]s using exactly
+    * the codecs, content-derived ids, row caps, and zone-map rules of
+    * [[encodeColumnsLocal]] — the write surface stays single-sourced.
+    * Row order is preserved as given (all columns share it; the key
+    * min/max range is computed, not assumed sorted). For column `ci`:
+    * byte columns read `byteVals(ci)`, long/double columns read
+    * `longVals(ci)`/`longNulls(ci)` (doubles as raw IEEE-754 bits).
+    */
+  private[fsstspark] def encodeChunkFromArrays(
+      keys: Array[String],
+      names: Array[String], isLong: Array[Boolean], isDouble: Array[Boolean],
+      byteVals: Array[Array[Array[Byte]]],
+      longVals: Array[Array[Long]], longNulls: Array[Array[Boolean]]): Iterator[ChunkResult] = {
+    require(keys.nonEmpty, "empty chunk")
+    val cid = localChunkId(keys)
+    val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob
+    var mn = keys(0)
+    var mx = keys(0)
+    var i = 1
+    while (i < keys.length) {
+      if (fsstspark.util.Keys.lessUtf8(keys(i), mn)) mn = keys(i)
+      if (fsstspark.util.Keys.lessUtf8(mx, keys(i))) mx = keys(i)
+      i += 1
+    }
+    names.indices.iterator.map { ci =>
+      if (isLong(ci))
+        mkLongsResult(cid, names(ci), keys.length, mn, mx, keyBlob,
+          longVals(ci), longNulls(ci), isDouble(ci))
+      else
+        mkBytesResult(cid, names(ci), keys.length, mn, mx, keyBlob, byteVals(ci))
+    }
+  }
+
   private def mkResult(cid: Long, column: String, keys: Array[String],
       values: Array[Array[Byte]]): ChunkResult = {
     val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob

@@ -834,6 +834,31 @@ object Queries {
     snap1.unionAll(current).orderBy("snap")
   }
 
+  /** The DSv2 WRITE path end-to-end through pure SQL: half the documents
+    * land via the library pipeline, the other half via
+    * `INSERT INTO <catalog>.<table>` (per-task local encode, parquet
+    * chunk files written by executors, marker-protocol commit), and the
+    * combined table is audited through the same SQL surface — fully
+    * DuckDB-oracled against `documents`.
+    */
+  def dsv2SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-insert-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    def part(pred: Column) = documents(s, dir).filter(pred).select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+      encode(col("text"), "UTF-8").as("text"))
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(
+      part(col("doc_id") % 2 === 0), col("k"),
+      Seq(EncodePipeline.ColSpec("text", col("text"))), 128L << 10), "docs")
+    s.conf.set("spark.sql.catalog.fsst_wq", "fsstspark.sources.FsstCatalog")
+    s.conf.set("spark.sql.catalog.fsst_wq.root", root)
+    part(col("doc_id") % 2 =!= 0).withColumnRenamed("k", "key")
+      .createOrReplaceTempView("fsst_insert_src")
+    s.sql("INSERT INTO fsst_wq.docs SELECT key, text FROM fsst_insert_src")
+    s.sql("""SELECT count(*) AS n_rows, count(DISTINCT key) AS n_keys,
+             sum(octet_length(text)) AS total_bytes FROM fsst_wq.docs""")
+  }
+
   /** Streaming read of the catalog through the connector
     * (`spark.readStream.format("fsst")`): two appends land in the chunk
     * catalog, one Trigger.AvailableNow run drains the commit log into a

@@ -171,14 +171,23 @@ object FsstDataSource {
 
 final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     chunksPerPartition: Int, columnarMode: String = "off",
-    asOf: Option[String] = None) extends Table with SupportsRead {
+    asOf: Option[String] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"fsst.`$root`.`$tableName`" + asOf.map(b => s" AS OF $b").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition, columnarMode, asOf)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a snapshot-pinned fsst table")
+    new FsstWriteBuilder(root, tableName, tableSchema, info)
+  }
 }
 
 /** One pushed aggregate, reduced to what the manifest can answer:

@@ -71,6 +71,7 @@ object SparkEntry {
     "dsv2_streaming" -> (Queries.dsv2Streaming _),
     "dsv2_eq_pushdown" -> (Queries.dsv2EqPushdown _),
     "dsv2_sql_catalog" -> (Queries.dsv2SqlCatalog _),
+    "dsv2_sql_insert" -> (Queries.dsv2SqlInsert _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -178,6 +179,12 @@ object SparkEntry {
                 CAST(sum(strlen(text)) AS BIGINT)
          FROM documents
          ORDER BY snap""",
+    // SQL INSERT through the DSv2 write path: final table = all documents
+    "dsv2_sql_insert" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS BIGINT) AS n_keys,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+         FROM documents""",
     // streaming read of the catalog: exactly-once delivery of both appends
     "dsv2_streaming" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -456,6 +456,68 @@ class DataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("read-only"))
   }
 
+  test("DSv2 write path: INSERT INTO and writeTo append land as committed catalog batches") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 64L << 10), "pages")
+    spark.conf.set("spark.sql.catalog.fsst_wcat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set("spark.sql.catalog.fsst_wcat.root", root)
+    val n = df.count()
+    // table schema order: key, html, score, text, ts (text is BinaryType here)
+    def shifted(prefix: String) = df.select(
+      concat(lit(prefix), col("url")).as("key"), col("html"), col("score"),
+      encode(col("text"), "UTF-8").as("text"), col("ts"))
+    // SQL INSERT
+    shifted("i1-").createOrReplaceTempView("fsst_extra")
+    spark.sql("INSERT INTO fsst_wcat.pages SELECT * FROM fsst_extra")
+    val t = spark.sql("SELECT count(*) FROM fsst_wcat.pages").collect()(0).getLong(0)
+    assert(t == 2 * n, s"after INSERT: $t rows, want ${2 * n}")
+    // df.writeTo append
+    shifted("i2-").writeTo("fsst_wcat.pages").append()
+    assert(spark.sql("SELECT count(*) FROM fsst_wcat.pages").collect()(0).getLong(0) == 3 * n)
+    // content round-trips bit-identically through the connector
+    val back = spark.read.format("fsst").option("root", root).option("table", "pages").load()
+      .filter(col("key").startsWith("i1-"))
+    val want = shifted("i1-")
+    val joined = want.join(back, Seq("key"), "full_outer")
+    assert(joined.filter(want("text").isNull || back("text").isNull).count() == 0)
+    assert(joined.filter(
+      !(want("html") <=> back("html")) || !(want("ts") <=> back("ts")) ||
+        !(want("score") <=> back("score")) ||
+        !(want("text") <=> back("text"))).count() == 0,
+      "inserted rows mismatch on read-back")
+    // the TYPED read path sees the same files (write format is identical)
+    val typedRows = EncodePipeline.decodeLongsNullable(
+      io.readChunks(spark, "pages").filter(col("column") === "ts")).count()
+    assert(typedRows == 3 * n)
+    // each write is its own snapshot: VERSION AS OF batch 1 still sees n rows
+    val batches = io.committedBatchIds(spark, "pages").sorted
+    assert(batches.length == 3)
+    assert(spark.sql(
+      s"SELECT count(*) FROM fsst_wcat.pages VERSION AS OF '${batches(0)}'")
+      .collect()(0).getLong(0) == n)
+    // zone maps flow through the external write: ts aggregate still pushes
+    val planStr = spark.sql("SELECT max(ts) FROM fsst_wcat.pages")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedAggregates"), "stats missing from externally written batch")
+    // a write with an unknown extra column is rejected in analysis
+    val e = intercept[Exception] {
+      shifted("i3-").withColumn("bogus", lit(1)).writeTo("fsst_wcat.pages").append()
+    }
+    assert(e.getMessage.toLowerCase.contains("too many data columns") ||
+      e.getMessage.contains("bogus"), s"got: ${e.getMessage}")
+    // missing NULLABLE columns are legal Spark append semantics (null-padded):
+    // the write path must round-trip those nulls too
+    df.limit(3).select(concat(lit("i4-"), col("url")).as("key"), col("ts"))
+      .writeTo("fsst_wcat.pages").append()
+    val nulls = spark.read.format("fsst").option("root", root).option("table", "pages").load()
+      .filter(col("key").startsWith("i4-"))
+    assert(nulls.count() == 3)
+    assert(nulls.filter(col("html").isNull && col("score").isNull && col("text").isNull)
+      .count() == 3, "null-padded columns must read back as nulls")
+  }
+
   test("tombstoned chunks are invisible to the connector") {
     val root = freshRoot()
     val df = pagesDf
