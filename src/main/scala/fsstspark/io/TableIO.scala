@@ -475,14 +475,12 @@ final class ParquetTableIO(root: String) extends TableIO {
       .orderBy("batch")
   }
 
-  override def manifest(spark: SparkSession, table: String): DataFrame = {
-    assertNotLegacy(spark, table)
-    val committed = committedBatches(spark, table) // ONE snapshot for batch + tombstone filters
-    // batch is the manifest's own partition column (uncommitted rows exist
-    // only after a crash between manifest append and commit marker)
-    val m = readManifestRaw(spark, table)
-    notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
-  }
+  // ONE committed-batches snapshot spans the batch + tombstone filters
+  // inside manifestOpt; batch is the manifest's own partition column
+  // (uncommitted rows exist only after a crash between manifest append
+  // and commit marker)
+  override def manifest(spark: SparkSession, table: String): DataFrame =
+    manifestOpt(spark, table, None)
 
   /** The manifest as of snapshot `asOf` — the metadata view matching
     * [[readChunksAsOf]]: batches committed with id <= `asOf`, minus
@@ -490,11 +488,37 @@ final class ParquetTableIO(root: String) extends TableIO {
     * apply to every snapshot). The connector's snapshot-pinned scans plan
     * from this.
     */
-  def manifestAsOf(spark: SparkSession, table: String, asOf: String): DataFrame = {
+  def manifestAsOf(spark: SparkSession, table: String, asOf: String): DataFrame =
+    manifestOpt(spark, table, Some(asOf))
+
+  /** One manifest code path for pinned AND current reads — callers with
+    * an optional snapshot pin dispatch here so the two views can never
+    * silently diverge.
+    */
+  def manifestOpt(spark: SparkSession, table: String, asOf: Option[String]): DataFrame = {
     assertNotLegacy(spark, table)
-    val committed = committedBatches(spark, table).filter(_ <= asOf)
+    val all = committedBatches(spark, table)
+    val committed = asOf match {
+      case Some(b) => all.filter(_ <= b)
+      case None => all
+    }
     val m = readManifestRaw(spark, table)
     notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
+  }
+
+  /** Committed batches with the COMMIT time (the marker file's
+    * modification time) — distinct from the mint millis embedded in the
+    * id: an external write mints its id at job start but commits at job
+    * end, and `TIMESTAMP AS OF` must resolve against the moment the
+    * batch became visible.
+    */
+  def committedBatchCommitTimes(spark: SparkSession, table: String): Array[(String, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(commitsDir(table))
+    val f = fs(spark, commitsDir(table))
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir)
+      .filterNot(st => st.getPath.getName.startsWith(".") || st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getModificationTime))
   }
 
   /** Point-read path: the manifest (tiny, driver-collectable hit list)

@@ -821,16 +821,20 @@ object Queries {
       part(col("doc_id") % 2 === 0), col("k"), specs, 128L << 10), "docs")
     io.writeChunks(EncodePipeline.encodeColumnsLocal(
       part(col("doc_id") % 2 =!= 0), col("k"), specs, 128L << 10), "docs")
-    s.conf.set("spark.sql.catalog.fsst_qcat", "fsstspark.sources.FsstCatalog")
-    s.conf.set("spark.sql.catalog.fsst_qcat.root", root)
+    // catalog name unique per invocation: Spark's CatalogManager caches
+    // the instance per name, so a reused name would pin the FIRST run's
+    // temp root for the whole session
+    val cat = s"fsst_qcat_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
     val batches = io.committedBatchIds(s, "docs").sorted
     val snap1 = s.sql(
       s"""SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
           sum(octet_length(text)) AS total_bytes
-          FROM fsst_qcat.docs VERSION AS OF '${batches(0)}'""")
+          FROM $cat.docs VERSION AS OF '${batches(0)}'""")
     val current = s.sql(
-      """SELECT CAST(2 AS BIGINT) AS snap, count(*) AS n_rows,
-         sum(octet_length(text)) AS total_bytes FROM fsst_qcat.docs""")
+      s"""SELECT CAST(2 AS BIGINT) AS snap, count(*) AS n_rows,
+         sum(octet_length(text)) AS total_bytes FROM $cat.docs""")
     snap1.unionAll(current).orderBy("snap")
   }
 
@@ -850,13 +854,15 @@ object Queries {
     io.writeChunks(EncodePipeline.encodeColumnsLocal(
       part(col("doc_id") % 2 === 0), col("k"),
       Seq(EncodePipeline.ColSpec("text", col("text"))), 128L << 10), "docs")
-    s.conf.set("spark.sql.catalog.fsst_wq", "fsstspark.sources.FsstCatalog")
-    s.conf.set("spark.sql.catalog.fsst_wq.root", root)
+    // unique per invocation — Spark caches catalog instances by name
+    val cat = s"fsst_wq_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
     part(col("doc_id") % 2 =!= 0).withColumnRenamed("k", "key")
       .createOrReplaceTempView("fsst_insert_src")
-    s.sql("INSERT INTO fsst_wq.docs SELECT key, text FROM fsst_insert_src")
-    s.sql("""SELECT count(*) AS n_rows, count(DISTINCT key) AS n_keys,
-             sum(octet_length(text)) AS total_bytes FROM fsst_wq.docs""")
+    s.sql(s"INSERT INTO $cat.docs SELECT key, text FROM fsst_insert_src")
+    s.sql(s"""SELECT count(*) AS n_rows, count(DISTINCT key) AS n_keys,
+             sum(octet_length(text)) AS total_bytes FROM $cat.docs""")
   }
 
   /** Streaming read of the catalog through the connector

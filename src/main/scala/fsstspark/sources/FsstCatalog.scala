@@ -76,7 +76,14 @@ final class FsstCatalog extends TableCatalog {
   private def load(ident: Identifier, asOf: Option[String]): Table = {
     if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
     try FsstDataSource.resolve(tableOptions(ident.name, asOf))
-    catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
+    catch {
+      // only genuine "table/snapshot missing" becomes NoSuchTable — a bad
+      // option value (columnar=on, non-numeric chunksPerPartition, a
+      // non-committed VERSION AS OF) must surface as the config error it is
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("no committed chunks") =>
+        throw new NoSuchTableException(ident)
+    }
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -86,20 +93,22 @@ final class FsstCatalog extends TableCatalog {
     load(ident, Some(version))
 
   /** SQL `TIMESTAMP AS OF ...` — Spark hands micros since epoch; the
-    * snapshot is the newest batch committed at or before it (batch ids
-    * embed creation millis).
+    * snapshot is the newest batch whose COMMIT landed at or before it.
+    * Commit time = the marker file's modification time, NOT the mint
+    * millis embedded in the id: an external write mints its id at job
+    * start but only becomes visible at job end, and a reproducibility
+    * read must see the state the table actually had at that moment.
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
     val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
-    val hit = io.committedBatchIds(spark, ident.name)
-      .filter(b => b.length >= 14 && b.charAt(0) == 'b' &&
-        b.substring(1, 14).forall(_.isDigit) && b.substring(1, 14).toLong <= cutoffMillis)
-      .sorted.lastOption
+    val hit = io.committedBatchCommitTimes(spark, ident.name)
+      .filter(_._2 <= cutoffMillis)
+      .sortBy(_._1).lastOption
     hit match {
-      case Some(b) => load(ident, Some(b))
+      case Some((b, _)) => load(ident, Some(b))
       case None => throw new NoSuchTableException(ident)
     }
   }

@@ -143,11 +143,19 @@ object FsstDataSource {
     val io = new ParquetTableIO(root)
     require(io.tableExists(spark, table),
       s"fsst table '$table' at '$root' has no committed chunks")
+    // a snapshot pin must NAME a committed batch: the `<= asOf` manifest
+    // filter would otherwise silently resolve a typo to a neighboring
+    // snapshot (or the full table) instead of erroring
+    o.asOf.foreach { b =>
+      require(io.committedBatchIds(spark, table).contains(b),
+        s"fsst table '$table': snapshot '$b' is not a committed batch id " +
+          "(list them via ParquetTableIO.snapshots)")
+    }
     // one codec name per column suffices for typing: value KIND is constant
     // per column (mixed byte/long codecs in one column is table corruption,
     // which the reader's codec-id validation rejects loudly).
     // A snapshot pin infers its schema from that snapshot's manifest.
-    val cols = o.asOf.map(io.manifestAsOf(spark, table, _)).getOrElse(io.manifest(spark, table))
+    val cols = io.manifestOpt(spark, table, o.asOf)
       .groupBy("column").agg(org.apache.spark.sql.functions.first("codec").as("codec"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -281,7 +289,7 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     statsCompleteCache.getOrElseUpdate(cols.sorted, {
       val io = new ParquetTableIO(root)
       val spark = SparkSession.active
-      asOf.map(io.manifestAsOf(spark, table, _)).getOrElse(io.manifest(spark, table))
+      io.manifestOpt(spark, table, asOf)
         .filter(org.apache.spark.sql.functions.col("column").isin(cols: _*))
         .filter(org.apache.spark.sql.functions.col("value_min").isNull)
         .isEmpty
@@ -338,7 +346,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
 
   /** Every manifest read in this scan honors the snapshot pin. */
   private def manifestDf(spark: SparkSession, io: ParquetTableIO) =
-    asOf.map(io.manifestAsOf(spark, table, _)).getOrElse(io.manifest(spark, table))
+    io.manifestOpt(spark, table, asOf)
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
   override def toBatch: Batch = this

@@ -234,7 +234,22 @@ final class FsstDataWriter(schema: StructType, colDirs: Map[String, String],
         Option[Long], Option[Long])](manifest.size())))
   }
 
-  override def abort(): Unit = close() // files GC'd by BatchWrite.abort
+  /** A LOSING task attempt must remove its own files: the job can still
+    * COMMIT after a task retry (or a speculative duplicate losing the
+    * race), and the whole-directory readers (`readChunks`,
+    * `repairManifest`) would otherwise see the orphan attempt's chunks
+    * as duplicates inside the committed batch. Job-level
+    * `BatchWrite.abort` only covers the job-failure case.
+    */
+  override def abort(): Unit = {
+    close()
+    writers.values().forEach { case (file, _) =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(file)
+        p.getFileSystem(conf).delete(p, false)
+      } catch { case _: Exception => }
+    }
+  }
   override def close(): Unit = writers.values().forEach { w =>
     try w._2.close() catch { case _: Exception => }
   }

@@ -425,6 +425,7 @@ class DataSourceSpec extends AnyFunSuite {
     val df = pagesDf
     val (b1, b2) = (df.filter((col("ts") / 1000) % 2 === 0), df.filter((col("ts") / 1000) % 2 =!= 0))
     io.writeChunks(EncodePipeline.encodeColumnsLocal(b1, col("url"), pageSpecs, 64L << 10), "pages")
+    Thread.sleep(100) // separate the two COMMIT times for the timestamp test
     io.writeChunks(EncodePipeline.encodeColumnsLocal(b2, col("url"), pageSpecs, 64L << 10), "pages")
     spark.conf.set("spark.sql.catalog.fsst_cat", "fsstspark.sources.FsstCatalog")
     spark.conf.set("spark.sql.catalog.fsst_cat.root", root)
@@ -443,12 +444,24 @@ class DataSourceSpec extends AnyFunSuite {
     val n1 = spark.sql(s"SELECT count(*) FROM fsst_cat.pages VERSION AS OF '${batches(0)}'")
       .collect()(0).getLong(0)
     assert(n1 == b1.count(), s"snapshot 1 has $n1 rows, want ${b1.count()}")
-    // TIMESTAMP AS OF between the two commits resolves to batch 1
-    val millis1 = batches(0).substring(1, 14).toLong
-    val tsLit = java.time.Instant.ofEpochMilli(millis1).toString.stripSuffix("Z")
+    // TIMESTAMP AS OF between the two COMMIT times resolves to batch 1
+    // (timestamps resolve on marker mtime — the moment the batch became
+    // visible — not the mint millis inside the id)
+    val commitTimes = io.committedBatchCommitTimes(spark, "pages").toMap
+    val cutoff = commitTimes(batches(1)) - 1
+    assert(commitTimes(batches(0)) <= cutoff, "commit times not separated; raise the sleep")
+    val tsLit = java.time.Instant.ofEpochMilli(cutoff).toString.stripSuffix("Z")
     val nTs = spark.sql(
       s"SELECT count(*) FROM fsst_cat.pages TIMESTAMP AS OF '$tsLit'").collect()(0).getLong(0)
     assert(nTs == b1.count(), s"timestamp snapshot has $nTs rows, want ${b1.count()}")
+    // a VERSION AS OF that names no committed batch errors instead of
+    // silently resolving to a neighboring snapshot
+    val eVer = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM fsst_cat.pages VERSION AS OF 'zzzz'").collect()
+    }
+    assert(eVer.getMessage.contains("not a committed batch") ||
+      eVer.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      eVer.getMessage.toLowerCase.contains("cannot be found"), s"got: ${eVer.getMessage}")
     // read-only: DDL rejected loudly
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE fsst_cat.newtable (a INT) USING fsst")
