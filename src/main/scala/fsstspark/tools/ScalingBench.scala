@@ -57,7 +57,7 @@ object ScalingBench {
     val catalogRoot = corpusDir + "_catalog_v2"
     // pages catalog only for the modes that read it — a longonly-only run
     // must not pay the full corpus encode
-    val readModes = Set("dsv2", "dsv2_typed", "dsv2_long", "dsv2_long_rows")
+    val readModes = Set("dsv2", "dsv2_typed", "dsv2_long", "dsv2_long_rows", "dsv2_write", "pipeline_write")
     if (wantModes.exists(readModes) &&
         !new java.io.File(s"$catalogRoot/pages/commits").exists()) {
       val spark = SparkSession.builder().master("local[32]")
@@ -114,6 +114,12 @@ object ScalingBench {
       def htmlKv = pages.select(col("url").as("key"), col("html").as("value")).as[KV]
       val nChunks = math.max(cpus * 8, (nPages / 2000).toInt)
       def chunk = EncodePipeline.chunkIdByHash(col("key"), nChunks)
+      // corpus byte total for the write modes, computed ONCE untimed (a
+      // full scan — inside the timed body it would dominate the number)
+      lazy val corpusWriteBytes: Long = pages
+        .agg(sum(octet_length(encode(col("text"), "UTF-8"))) +
+          sum(octet_length(col("html"))) + count(lit(1)) * 8L)
+        .head().getLong(0)
 
       val modes: Seq[(String, () => Long)] = Seq(
         "scan" -> (() => {
@@ -168,6 +174,48 @@ object ScalingBench {
             .option("root", catalogRoot).option("table", "pages")
             .option("columnar", "off").load()
             .groupBy().agg(sum(col("ts") % 1000000L), count(col("ts"))).head().getLong(1)),
+        // DSv2 WRITE path: writeTo().append() the whole corpus into a fresh
+        // catalog table (per-task encode + executor-written chunk files +
+        // marker commit); bytes = input text+html+ts
+        "dsv2_write" -> (() => {
+          val wroot = corpusDir + s"_writebench/${java.util.UUID.randomUUID().toString.take(8)}"
+          // seed the table so the catalog can infer its schema
+          val seedIo = new fsstspark.io.ParquetTableIO(wroot)
+          val src = spark.read.parquet(corpusDir).select(
+            col("url").as("key"), encode(col("text"), "UTF-8").as("text"),
+            col("html"), unix_micros(col("warc_ts")).as("ts"))
+          seedIo.writeChunks(EncodePipeline.encodeColumnsLocal(
+            src.limit(100), col("key"),
+            Seq(EncodePipeline.ColSpec("text", col("text")),
+              EncodePipeline.ColSpec("html", col("html")),
+              EncodePipeline.ColSpec("ts", col("ts"), isLong = true)), 4L << 20), "pages")
+          val cat = s"fsst_wb_${math.abs(wroot.hashCode)}"
+          spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+          spark.conf.set(s"spark.sql.catalog.$cat.root", wroot)
+          // schema order: key, html, text, ts
+          src.select(col("key"), col("html"), col("text"), col("ts"))
+            .writeTo(s"$cat.pages").append()
+          // reclaim the rep's tmpfs table (fresh root per rep; ~ms on tmpfs)
+          val p = new org.apache.hadoop.fs.Path(wroot)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          corpusWriteBytes
+        }),
+        // the pipeline equivalent of dsv2_write: encodeColumnsLocal +
+        // writeChunks into a fresh catalog (the write bench's baseline)
+        "pipeline_write" -> (() => {
+          val wroot = corpusDir + s"_writebench/${java.util.UUID.randomUUID().toString.take(8)}"
+          val io = new fsstspark.io.ParquetTableIO(wroot)
+          val src = spark.read.parquet(corpusDir).select(
+            col("url").as("key"), encode(col("text"), "UTF-8").as("text"),
+            col("html"), unix_micros(col("warc_ts")).as("ts"))
+          io.writeChunks(EncodePipeline.encodeColumnsLocal(src, col("key"),
+            Seq(EncodePipeline.ColSpec("text", col("text")),
+              EncodePipeline.ColSpec("html", col("html")),
+              EncodePipeline.ColSpec("ts", col("ts"), isLong = true)), 16L << 20), "pages")
+          val p = new org.apache.hadoop.fs.Path(wroot)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          corpusWriteBytes
+        }),
         // longs-only catalog (1M rows/chunk): columnar's best case
         "dsv2_longonly" -> (() =>
           8L * spark.read.format("fsst")
@@ -210,7 +258,8 @@ object ScalingBench {
     val cs = cpuLevels.sorted
     if (cs.length >= 2) {
       for (mode <- Seq("scan", "local", "shuffle", "shuffle_pregroup", "dsv2", "dsv2_typed",
-          "dsv2_long", "dsv2_long_rows", "dsv2_longonly", "dsv2_longonly_rows") if wantModes(mode)) {
+          "dsv2_long", "dsv2_long_rows", "dsv2_longonly", "dsv2_longonly_rows",
+          "dsv2_write", "pipeline_write") if wantModes(mode)) {
         val (tLow, _) = out((cs.head, mode))
         val (tHigh, bytes) = out((cs.last, mode))
         val factor = cs.last.toDouble / cs.head
