@@ -212,7 +212,12 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   private def readManifestRaw(spark: SparkSession, table: String): DataFrame = {
     assertManifestNotLegacy(spark, table)
-    spark.read.schema(manifestSchema).parquet(manifestDir(table))
+    // a declared-but-still-empty table (DDL sidecar, no data yet) has no
+    // manifest directory: read as an empty frame, not a path error
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table))
+    if (!fs(spark, manifestDir(table)).exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
+    else spark.read.schema(manifestSchema).parquet(manifestDir(table))
   }
 
   /** Manifests written before the manifest was batch-partitioned (flat

@@ -865,6 +865,33 @@ object Queries {
              sum(octet_length(text)) AS total_bytes FROM $cat.docs""")
   }
 
+  /** The SQL DDL lifecycle end-to-end: CREATE TABLE declares the schema
+    * (sidecar — the empty table resolves and strings stay strings),
+    * INSERT bootstraps it through the write path, and CTAS derives a
+    * second table from the first, all via `spark.sql`. Both tables'
+    * audits reproduce in DuckDB from `documents`.
+    */
+  def dsv2SqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-ddl-q").toString
+    val cat = s"fsst_ddlq_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE TABLE $cat.docs (key STRING, text STRING, n BIGINT) USING fsst")
+    documents(s, dir).select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        col("text"), col("n_chars").as("n"))
+      .createOrReplaceTempView("fsst_ddl_src")
+    s.sql(s"INSERT INTO $cat.docs SELECT * FROM fsst_ddl_src")
+    s.sql(s"CREATE TABLE $cat.big USING fsst AS " +
+      s"SELECT key, n FROM $cat.docs WHERE n > 500")
+    s.sql(
+      s"""SELECT 'big' AS t, count(*) AS n_rows, sum(n) AS agg FROM $cat.big
+          UNION ALL
+          SELECT 'docs' AS t, count(*) AS n_rows, sum(octet_length(encode(text, 'UTF-8'))) AS agg
+          FROM $cat.docs
+          ORDER BY t""")
+  }
+
   /** Streaming read of the catalog through the connector
     * (`spark.readStream.format("fsst")`): two appends land in the chunk
     * catalog, one Trigger.AvailableNow run drains the commit log into a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import fsstspark.io.ParquetTableIO
@@ -48,7 +48,9 @@ final class FsstCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  /** Single-level namespace: every committed table directly under root. */
+  /** Single-level namespace: every table directly under root — committed
+    * data OR a DDL-created (possibly still empty) schema sidecar.
+    */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     val spark = SparkSession.active
@@ -57,7 +59,8 @@ final class FsstCatalog extends TableCatalog {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Array.empty
     fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(t => io.tableExists(spark, t))
+      .filter(t => io.tableExists(spark, t) ||
+        FsstCatalog.readDeclaredSchema(spark, root, t).isDefined)
       .map(t => Identifier.of(Array.empty, t))
   }
 
@@ -114,23 +117,94 @@ final class FsstCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.isEmpty &&
-      new ParquetTableIO(root).tableExists(SparkSession.active, ident.name)
+    ident.namespace.isEmpty && {
+      val spark = SparkSession.active
+      new ParquetTableIO(root).tableExists(spark, ident.name) ||
+        FsstCatalog.readDeclaredSchema(spark, root, ident.name).isDefined
+    }
+
+  /** `CREATE TABLE cat.t (key STRING, …) USING fsst` — writes the
+    * declared schema as a sidecar so the (still empty) table resolves
+    * and can be INSERTed into; the first data batch then lands through
+    * the normal write path. CTAS works end-to-end: Spark creates the
+    * table, appends the query result, and drops it on failure.
+    */
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable)).toSeq),
+      partitions, properties)
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (ident.namespace.nonEmpty) throw new NoSuchNamespaceException(ident.namespace)
+    require(partitions.isEmpty,
+      "fsst tables are chunk-partitioned by the engine; PARTITIONED BY is not supported")
+    require(schema.fields.length >= 2 && schema.fields(0).name == "key" &&
+      schema.fields(0).dataType == StringType,
+      "an fsst table needs `key STRING` first plus at least one value column, got " +
+        schema.simpleString)
+    schema.fields.drop(1).foreach { f =>
+      require(Seq(StringType, BinaryType, LongType, DoubleType).contains(f.dataType),
+        s"column ${f.name}: fsst stores STRING/BINARY/BIGINT/DOUBLE, got ${f.dataType.sql}")
+    }
+    val spark = SparkSession.active
+    require(!tableExists(ident), s"fsst table '${ident.name}' already exists")
+    FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
+    new FsstTable(root, ident.name, schema, 8)
+  }
+
+  /** DROP TABLE deletes the table directory — data, manifest, commit
+    * markers, tombstones, and the schema sidecar.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace.nonEmpty) return false
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(s"$root/${ident.name}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"fsst catalog '$catalogName' is read-only: $op is not supported — write through " +
-        "EncodePipeline.encodeColumns[Local] + ParquetTableIO (or StreamingEncode)")
+      s"fsst catalog '$catalogName' does not support $op — schema evolution and renames " +
+        "are catalog-maintenance operations, not SQL DDL")
 
-  override def createTable(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+object FsstCatalog {
+  /** DDL-declared schema sidecar: `<root>/<table>/_schema.json`. When
+    * present it is the AUTHORITATIVE table schema (a table created with
+    * `text STRING` keeps surfacing strings after data lands — manifest
+    * inference would see bytes); absent, the schema infers from chunk
+    * codec names as before.
+    */
+  private def schemaPath(root: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$table/_schema.json")
+
+  def readDeclaredSchema(spark: SparkSession, root: String, table: String): Option[StructType] = {
+    val p = schemaPath(root, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  def writeDeclaredSchema(spark: SparkSession, root: String, table: String,
+      schema: StructType): Unit = {
+    val p = schemaPath(root, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
 }

@@ -141,6 +141,20 @@ object FsstDataSource {
     val (root, table) = (o.root, o.table)
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
+    // a DDL-declared schema is AUTHORITATIVE: a created-but-still-empty
+    // table resolves (so INSERT INTO can bootstrap it), and declared
+    // string columns stay strings after data lands (manifest inference
+    // would surface them as binary)
+    FsstCatalog.readDeclaredSchema(spark, root, table) match {
+      case Some(declared) =>
+        o.asOf.foreach { b =>
+          require(io.committedBatchIds(spark, table).contains(b),
+            s"fsst table '$table': snapshot '$b' is not a committed batch id " +
+              "(list them via ParquetTableIO.snapshots)")
+        }
+        return new FsstTable(root, table, declared, o.chunksPerPartition, o.columnar, o.asOf)
+      case None =>
+    }
     require(io.tableExists(spark, table),
       s"fsst table '$table' at '$root' has no committed chunks")
     // a snapshot pin must NAME a committed batch: the `<= asOf` manifest

@@ -72,6 +72,7 @@ object SparkEntry {
     "dsv2_eq_pushdown" -> (Queries.dsv2EqPushdown _),
     "dsv2_sql_catalog" -> (Queries.dsv2SqlCatalog _),
     "dsv2_sql_insert" -> (Queries.dsv2SqlInsert _),
+    "dsv2_sql_ddl" -> (Queries.dsv2SqlDdl _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -179,6 +180,16 @@ object SparkEntry {
                 CAST(sum(strlen(text)) AS BIGINT)
          FROM documents
          ORDER BY snap""",
+    // SQL DDL lifecycle: CREATE + INSERT + CTAS(n > 500)
+    "dsv2_sql_ddl" ->
+      """SELECT 'big' AS t, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS agg
+         FROM documents WHERE n_chars > 500
+         UNION ALL
+         SELECT 'docs' AS t, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(strlen(text)) AS BIGINT) AS agg
+         FROM documents
+         ORDER BY t""",
     // SQL INSERT through the DSv2 write path: final table = all documents
     "dsv2_sql_insert" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -419,7 +419,7 @@ class DataSourceSpec extends AnyFunSuite {
     assert(FsstScan.nextAfterPrefix(new String(Array(0x10FFFF), 0, 1)).isEmpty)
   }
 
-  test("FsstCatalog: SQL names, SHOW TABLES, VERSION/TIMESTAMP AS OF time travel, read-only") {
+  test("FsstCatalog: SQL names, SHOW TABLES, VERSION/TIMESTAMP AS OF time travel, unsupported DDL") {
     val root = freshRoot()
     val io = new ParquetTableIO(root)
     val df = pagesDf
@@ -462,11 +462,13 @@ class DataSourceSpec extends AnyFunSuite {
     assert(eVer.getMessage.contains("not a committed batch") ||
       eVer.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       eVer.getMessage.toLowerCase.contains("cannot be found"), s"got: ${eVer.getMessage}")
-    // read-only: DDL rejected loudly
+    // unsupported DDL rejected loudly (CREATE is supported — see the DDL
+    // lifecycle test — but schema evolution is not)
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE fsst_cat.newtable (a INT) USING fsst")
+      spark.sql("ALTER TABLE fsst_cat.pages ADD COLUMN extra INT")
     }
-    assert(e.getMessage.contains("read-only"))
+    assert(e.getMessage.contains("ALTER TABLE") ||
+      e.getMessage.toLowerCase.contains("does not support"), s"got: ${e.getMessage}")
   }
 
   test("DSv2 write path: INSERT INTO and writeTo append land as committed catalog batches") {
@@ -529,6 +531,43 @@ class DataSourceSpec extends AnyFunSuite {
     assert(nulls.count() == 3)
     assert(nulls.filter(col("html").isNull && col("score").isNull && col("text").isNull)
       .count() == 3, "null-padded columns must read back as nulls")
+  }
+
+  test("SQL DDL lifecycle: CREATE TABLE, INSERT bootstrap, CTAS, DROP") {
+    val root = freshRoot()
+    val cat = s"fsst_ddl_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // CREATE on an empty catalog; the declared schema is authoritative
+    spark.sql(s"CREATE TABLE $cat.docs (key STRING, text STRING, n BIGINT) USING fsst")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).toSet == Set("docs"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs").collect()(0).getLong(0) == 0)
+    assert(spark.table(s"$cat.docs").schema.fields.map(_.dataType).toSeq ==
+      Seq(StringType, StringType, LongType))
+    // INSERT bootstraps the empty table through the write path
+    val df = spark.read.parquet(s"$sf/documents.parquet").select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+      col("text"), col("n_chars").as("n"))
+    df.createOrReplaceTempView("ddl_src")
+    spark.sql(s"INSERT INTO $cat.docs SELECT * FROM ddl_src")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs").collect()(0).getLong(0) == df.count())
+    // declared STRING column stays a string after data lands
+    assert(spark.table(s"$cat.docs").schema("text").dataType == StringType)
+    assert(spark.sql(s"SELECT sum(length(text)) FROM $cat.docs").collect()(0).getLong(0) ==
+      df.agg(sum(length(col("text")))).collect()(0).getLong(0))
+    // CTAS end-to-end
+    spark.sql(s"CREATE TABLE $cat.docs2 USING fsst AS SELECT key, n FROM $cat.docs WHERE n > 100")
+    val want = df.filter(col("n") > 100).count()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs2").collect()(0).getLong(0) == want)
+    // invalid DDL rejected
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (a INT, b STRING) USING fsst")
+    }
+    assert(e.getMessage.contains("key STRING"), s"got: ${e.getMessage}")
+    // DROP removes the table entirely
+    spark.sql(s"DROP TABLE $cat.docs2")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).toSet == Set("docs"))
+    assert(!new java.io.File(s"$root/docs2").exists())
   }
 
   test("tombstoned chunks are invisible to the connector") {
