@@ -892,6 +892,32 @@ object Queries {
           ORDER BY t""")
   }
 
+  /** Chunk-aligned `DELETE FROM` through SQL: the table is chunked on a
+    * SQL-expressible boundary (125 docs per chunk), so a key-range
+    * DELETE that lands exactly on a chunk edge is a pure METADATA
+    * operation (a snapshot-gated tombstone batch, no data rewritten) —
+    * and the surviving table reproduces in DuckDB from the same
+    * boundary predicate.
+    */
+  def dsv2SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-delete-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val docs = documents(s, dir).select(
+      col("doc_id"),
+      lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+      encode(col("text"), "UTF-8").as("text"))
+    io.writeChunks(EncodePipeline.encodeColumns(docs, col("k"),
+      col("doc_id") / lit(125), // integer division via cast in encodeColumns
+      Seq(EncodePipeline.ColSpec("text", col("text")))), "docs")
+    val cat = s"fsst_delq_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val cut = f"${124}%08d" // end of chunk 0 (docs 0..124)
+    s.sql(s"DELETE FROM $cat.docs WHERE key <= '$cut'")
+    s.sql(s"""SELECT count(*) AS n_rows, min(key) AS min_key,
+              sum(octet_length(text)) AS text_bytes FROM $cat.docs""")
+  }
+
   /** Streaming read of the catalog through the connector
     * (`spark.readStream.format("fsst")`): two appends land in the chunk
     * catalog, one Trigger.AvailableNow run drains the commit log into a

@@ -76,8 +76,33 @@ final class FsstCatalog extends TableCatalog {
     new CaseInsensitiveStringMap(m)
   }
 
+  /** Iceberg-style metadata tables: `SELECT * FROM cat.`t$snapshots``
+    * (commit log) and ``t$chunks`` (the live manifest view). Materialized
+    * at load — both are metadata-sized.
+    */
+  private def metaTable(base: String, kind: String): Table = {
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(root)
+    val df = kind match {
+      case "snapshots" => io.snapshots(spark, base)
+      case "chunks" => io.manifest(spark, base)
+        .select("column", "chunk_id", "codec", "n_rows", "bytes_in", "bytes_out",
+          "min_key", "max_key", "value_min", "value_max")
+      case other => throw new IllegalArgumentException(
+        s"unknown fsst metadata table '$$${other}' — supported: $$snapshots, $$chunks")
+    }
+    new FsstLocalTable(s"$base$$$kind", df.schema,
+      df.collect().map(_.toSeq).toSeq)
+  }
+
   private def load(ident: Identifier, asOf: Option[String]): Table = {
     if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
+    val dollar = ident.name.indexOf('$')
+    if (dollar > 0) {
+      val base = ident.name.substring(0, dollar)
+      if (!tableExists(Identifier.of(Array.empty, base))) throw new NoSuchTableException(ident)
+      return metaTable(base, ident.name.substring(dollar + 1))
+    }
     try FsstDataSource.resolve(tableOptions(ident.name, asOf))
     catch {
       // only genuine "table/snapshot missing" becomes NoSuchTable — a bad
@@ -175,6 +200,50 @@ final class FsstCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 }
+
+/** A tiny driver-materialized table for the metadata views. */
+private[sources] final class FsstLocalTable(tname: String, tschema: StructType,
+    rows: Seq[Seq[Any]])
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = tname
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tschema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(LocalRowsPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition):
+                PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+              new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+                private val it = p.asInstanceOf[LocalRowsPartition].rows.iterator
+                private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                    it.next().map {
+                      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                      case v => v
+                    }.toArray)
+                  true
+                }
+                override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+                override def close(): Unit = ()
+              }
+          }
+      }
+    }
+}
+
+private[sources] final case class LocalRowsPartition(rows: Seq[Seq[Any]])
+    extends org.apache.spark.sql.connector.read.InputPartition
 
 object FsstCatalog {
   /** DDL-declared schema sidecar: `<root>/<table>/_schema.json`. When

@@ -169,11 +169,18 @@ object FsstDataSource {
     // per column (mixed byte/long codecs in one column is table corruption,
     // which the reader's codec-id validation rejects loudly).
     // A snapshot pin infers its schema from that snapshot's manifest.
-    val cols = io.manifestOpt(spark, table, o.asOf)
+    def colsOf(df: org.apache.spark.sql.DataFrame) = df
       .groupBy("column").agg(org.apache.spark.sql.functions.first("codec").as("codec"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)))
       .sortBy(_._1)
+    var cols = colsOf(io.manifestOpt(spark, table, o.asOf))
+    // a fully-TRUNCATED table still resolves: deletes don't change column
+    // types, so typing falls back to the manifest without tombstone
+    // filtering (the ingest-ledger view)
+    if (cols.isEmpty)
+      cols = colsOf(io.manifestForBatches(spark, table,
+        io.committedBatchIds(spark, table).toIndexedSeq))
     // reachable even though tableExists passed: a catalog holding only
     // data-less delete batches has commit markers but no manifest rows
     require(cols.nonEmpty, s"fsst table '$table' at '$root' has no readable columns")
@@ -195,7 +202,8 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     chunksPerPartition: Int, columnarMode: String = "off",
     asOf: Option[String] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"fsst.`$root`.`$tableName`" + asOf.map(b => s" AS OF $b").getOrElse("")
   override def schema(): StructType = tableSchema
@@ -209,6 +217,33 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
       org.apache.spark.sql.connector.write.WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a snapshot-pinned fsst table")
     new FsstWriteBuilder(root, tableName, tableSchema, info)
+  }
+
+  /** `DELETE FROM` as an Iceberg-style METADATA delete: accepted only
+    * when the key predicate covers whole chunks exactly (every chunk is
+    * either fully inside or fully outside the predicate — boundary
+    * chunks refuse the delete rather than silently widening or narrowing
+    * it), in which case the victims tombstone through the catalog's
+    * snapshot-gated delete batch. `TRUNCATE TABLE` is the always-true
+    * case. Row-level deletes are a rewrite (compaction) concern, not a
+    * metadata operation.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && FsstScan.chunkAlignedVictims(root, tableName, filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty, "cannot delete from a snapshot-pinned fsst table")
+    val spark = SparkSession.active
+    val victims = FsstScan.chunkAlignedVictims(root, tableName, filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "DELETE FROM fsst table: the predicate does not align with chunk boundaries " +
+          "(only whole-chunk key-range deletes are metadata operations; rewrite via " +
+          "compaction for row-level deletes)"))
+    if (victims.nonEmpty) {
+      import spark.implicits._
+      new ParquetTableIO(root).removeChunks(spark, tableName,
+        victims.toSeq.toDF("chunk_id", "column"))
+    }
   }
 }
 
@@ -674,6 +709,59 @@ private[sources] object FsstScan {
         // drop rows matching the unconverted member
         if (ts.length == vs.length) Some(ColEquals(c, ts)) else None
     }.flatten
+  }
+
+  /** The (chunk_id, column) victims of a CHUNK-ALIGNED delete, or None
+    * when the predicate does not align. Exactness: every chunk (and
+    * every duplicate-id instance — tombstones are id-granular, so all
+    * instances of an id must agree) is either FULLY inside the predicate
+    * (its whole [min_key, max_key] range satisfies every filter) or
+    * fully outside (no key can match). Only key predicates are decidable
+    * from metadata — keys are non-null and ranges are exact bounds; a
+    * value predicate cannot prove a chunk fully-covered (null counts are
+    * not recorded), so any non-key filter refuses.
+    */
+  def chunkAlignedVictims(root: String, table: String,
+      filters: Array[Filter]): Option[Array[(Long, String)]] = {
+    def fullyTrue(f: Filter, mn: String, mx: String): Option[Boolean] = f match {
+      case _: AlwaysTrue => Some(true)
+      case EqualTo("key", v: String) =>
+        Some(Keys.compareUtf8(mn, v) == 0 && Keys.compareUtf8(mx, v) == 0)
+      case GreaterThan("key", v: String) => Some(Keys.compareUtf8(mn, v) > 0)
+      case GreaterThanOrEqual("key", v: String) => Some(Keys.compareUtf8(mn, v) >= 0)
+      case LessThan("key", v: String) => Some(Keys.compareUtf8(mx, v) < 0)
+      case LessThanOrEqual("key", v: String) => Some(Keys.compareUtf8(mx, v) <= 0)
+      case StringStartsWith("key", p) =>
+        // [p, nextAfterPrefix(p)) is exactly the prefix-p interval
+        Some(Keys.compareUtf8(mn, p) >= 0 &&
+          nextAfterPrefix(p).forall(q => Keys.compareUtf8(mx, q) < 0) &&
+          (nextAfterPrefix(p).isDefined || mn.startsWith(p)))
+      case And(l, r) => for (a <- fullyTrue(l, mn, mx); b <- fullyTrue(r, mn, mx)) yield a && b
+      case _ => None // not decidable from metadata → not chunk-aligned
+    }
+    val effective = if (filters.isEmpty) Array[Filter](new AlwaysTrue()) else filters
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(root)
+    val rows = io.manifest(spark, table)
+      .select("chunk_id", "column", "min_key", "max_key").collect()
+    val perRow = rows.map { r =>
+      val (mn, mx) = (r.getString(2), r.getString(3))
+      val full = effective.foldLeft(Option(true)) { (acc, f) =>
+        for (a <- acc; b <- fullyTrue(f, mn, mx)) yield a && b
+      }
+      full match {
+        case None => return None // some filter undecidable from metadata
+        case Some(true) => (r.getLong(0), r.getString(1), 1)
+        case Some(false) =>
+          // fully-false required: a partially-matching chunk breaks alignment
+          if (keySurvives(mn, mx, effective)) return None
+          (r.getLong(0), r.getString(1), 0)
+      }
+    }
+    // duplicate-id instances must agree (tombstones kill the whole id)
+    val byId = perRow.groupBy(_._1)
+    if (byId.values.exists(g => g.map(_._3).distinct.length > 1)) return None
+    Some(perRow.filter(_._3 == 1).map(r => (r._1, r._2)).distinct)
   }
 
   /** Filters this source can use for chunk pruning. */

@@ -73,6 +73,7 @@ object SparkEntry {
     "dsv2_sql_catalog" -> (Queries.dsv2SqlCatalog _),
     "dsv2_sql_insert" -> (Queries.dsv2SqlInsert _),
     "dsv2_sql_ddl" -> (Queries.dsv2SqlDdl _),
+    "dsv2_sql_delete" -> (Queries.dsv2SqlDelete _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -180,6 +181,12 @@ object SparkEntry {
                 CAST(sum(strlen(text)) AS BIGINT)
          FROM documents
          ORDER BY snap""",
+    // chunk-aligned SQL DELETE: chunk 0 = docs 0..124, tombstoned whole
+    "dsv2_sql_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
+         CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+         FROM documents WHERE doc_id > 124""",
     // SQL DDL lifecycle: CREATE + INSERT + CTAS(n > 500)
     "dsv2_sql_ddl" ->
       """SELECT 'big' AS t, CAST(count(*) AS BIGINT) AS n_rows,

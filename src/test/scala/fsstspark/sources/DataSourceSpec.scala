@@ -570,6 +570,47 @@ class DataSourceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/docs2").exists())
   }
 
+  test("chunk-aligned DELETE FROM, TRUNCATE, and $snapshots/$chunks metadata tables") {
+    val root = freshRoot()
+    val df = pagesDf.orderBy("url").coalesce(1) // disjoint chunk key ranges
+    val io = writeTable(df, root, "pages", chunkBytes = 8L << 10)
+    val cat = s"fsst_del_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val n = df.count()
+    // pick a chunk boundary: DELETE up to some chunk's max_key is exact
+    val bounds = io.manifest(spark, "pages").filter(col("column") === "text")
+      .select("max_key", "n_rows").orderBy("max_key").collect()
+    assert(bounds.length > 3, "fixture too small")
+    val cut = bounds(1).getString(0) // end of the 2nd chunk
+    val nDeleted = bounds.take(2).map(_.getLong(1)).sum
+    spark.sql(s"DELETE FROM $cat.pages WHERE key <= '$cut'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pages").collect()(0).getLong(0) == n - nDeleted)
+    assert(spark.sql(s"SELECT min(key) FROM $cat.pages").collect()(0).getString(0) > cut)
+    // a NON-aligned predicate refuses (boundary strictly inside a LIVE chunk)
+    val live = io.manifest(spark, "pages").filter(col("column") === "text")
+      .select("min_key", "max_key").orderBy("min_key").collect()
+    val liveChunk = live.find(r => r.getString(0) != r.getString(1)).get
+    val mid = liveChunk.getString(0) + "0" // > min, < max within the chunk
+    assert(mid > liveChunk.getString(0) && mid < liveChunk.getString(1))
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.pages WHERE key <= '$mid'")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), s"got: ${e.getMessage}")
+    // metadata tables: commit log + live manifest view
+    val snaps = spark.sql(s"SELECT * FROM $cat.`pages$$snapshots`").collect()
+    assert(snaps.length == io.committedBatchIds(spark, "pages").length)
+    val chunkRows = spark.sql(s"SELECT count(*) FROM $cat.`pages$$chunks`").collect()(0).getLong(0)
+    assert(chunkRows == io.manifest(spark, "pages").count())
+    // TRUNCATE tombstones everything; time travel still sees the history
+    val firstBatch = io.committedBatchIds(spark, "pages").sorted.head
+    spark.sql(s"TRUNCATE TABLE $cat.pages")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pages").collect()(0).getLong(0) == 0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.pages VERSION AS OF '$firstBatch'")
+      .collect()(0).getLong(0) == n)
+  }
+
   test("tombstoned chunks are invisible to the connector") {
     val root = freshRoot()
     val df = pagesDf
