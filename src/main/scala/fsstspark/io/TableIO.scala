@@ -54,6 +54,12 @@ trait TableIO {
   /** Logically delete chunks (Iceberg delete-file semantics): the ids land
     * in a tombstone table and every read path filters them. Data files are
     * immutable; physical reclamation is a separate GC concern.
+    *
+    * Tombstones are BATCH-SCOPED: a delete kills only chunk instances
+    * from batches committed before it, so re-appending identical content
+    * later (same content-derived chunk id) is a new, visible instance —
+    * DELETE + re-INSERT round-trips. The [[deletedChunks]] ingest ledger
+    * still lists every tombstoned id regardless of scope.
     */
   def removeChunks(spark: SparkSession, table: String, chunkIds: DataFrame): Unit
 
@@ -212,12 +218,17 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   private def readManifestRaw(spark: SparkSession, table: String): DataFrame = {
     assertManifestNotLegacy(spark, table)
-    // a declared-but-still-empty table (DDL sidecar, no data yet) has no
-    // manifest directory: read as an empty frame, not a path error
     val p = new org.apache.hadoop.fs.Path(manifestDir(table))
-    if (!fs(spark, manifestDir(table)).exists(p))
+    if (!fs(spark, manifestDir(table)).exists(p)) {
+      // only a genuinely EMPTY table (DDL sidecar, no committed batches)
+      // reads as an empty manifest; a table WITH commits but no manifest
+      // directory is corruption and must fail loudly, not silently hide
+      // every chunk (the assertNotLegacy contract)
+      require(committedBatches(spark, table).isEmpty,
+        s"catalog table '$table' has committed batches but no manifest directory — " +
+          "run repairManifest to rebuild it from the data files")
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
-    else spark.read.schema(manifestSchema).parquet(manifestDir(table))
+    } else spark.read.schema(manifestSchema).parquet(manifestDir(table))
   }
 
   /** Manifests written before the manifest was batch-partitioned (flat
@@ -294,26 +305,45 @@ final class ParquetTableIO(root: String) extends TableIO {
     org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("gated_by", org.apache.spark.sql.types.StringType)))
 
-  /** EFFECTIVE (chunk_id, column) tombstones under ONE committed-batch
-    * snapshot: immediate deletes (gated_by null) plus deletes gated on a
-    * batch in `committed`. A gated tombstone whose batch never committed
-    * is inert — that is what makes [[replaceChunks]] an atomic swap: the
+  /** EFFECTIVE tombstones under ONE committed-batch snapshot: immediate
+    * deletes (gated_by null) plus deletes gated on a batch in
+    * `committed`. A gated tombstone whose batch never committed is
+    * inert — that is what makes [[replaceChunks]] an atomic swap: the
     * deletes and the adds become visible through the SAME commit marker.
-    * Single scan; the In-list compiles to an InSet above the conversion
-    * threshold.
+    *
+    * Each row carries `applies_before`: a tombstone kills only chunk
+    * INSTANCES from batches that committed strictly BEFORE its gating
+    * batch (batch ids are time-ordered). A later re-append of the same
+    * content — whose content-derived chunk id necessarily repeats — is
+    * a new instance and stays visible; without the scope, DELETE +
+    * re-INSERT of identical rows silently swallowed the new data.
+    * Legacy immediate tombstones (null gate) apply to every batch
+    * (`applies_before` = '~', which sorts after every `b…` id).
     */
   private def tombstones(spark: SparkSession, table: String, committed: Array[String]): DataFrame = {
     import spark.implicits._
-    if (!hasTombstones(spark, table)) Seq.empty[(Long, String)].toDF("chunk_id", "column")
+    if (!hasTombstones(spark, table))
+      Seq.empty[(Long, String, String)].toDF("chunk_id", "column", "applies_before")
     else spark.read.schema(tombSchema).parquet(tombDir(table))
       .filter(col("gated_by").isNull || col("gated_by").isin(committed.toSeq: _*))
-      .select("chunk_id", "column")
+      .select(col("chunk_id"), col("column"),
+        coalesce(col("gated_by"), lit("~")).as("applies_before"))
   }
 
+  /** `df` must carry its `batch` column: the anti-join keeps a row unless
+    * a tombstone matches its (chunk_id, column) AND the row's batch
+    * predates the tombstone's gate.
+    */
   private def notTombstoned(df: DataFrame, spark: SparkSession, table: String,
       committed: Array[String]): DataFrame =
     if (!hasTombstones(spark, table)) df
-    else df.join(broadcast(tombstones(spark, table, committed)), Seq("chunk_id", "column"), "left_anti")
+    else {
+      val t = broadcast(tombstones(spark, table, committed))
+      df.join(t,
+        df("chunk_id") === t("chunk_id") && df("column") === t("column") &&
+          df("batch") < t("applies_before"),
+        "left_anti")
+    }
 
   /** Append a batch of chunks. Each batch lands under its own `batch=`
     * partition directory, so the new manifest rows are derived by scanning
@@ -435,9 +465,9 @@ final class ParquetTableIO(root: String) extends TableIO {
     assertNotLegacy(spark, table)
     val committed = committedBatches(spark, table) // ONE snapshot for batch + tombstone filters
     notTombstoned(
-      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, committed)
-        .drop("batch"),
+      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, committed),
       spark, table, committed)
+      .drop("batch")
       .as[ChunkResult]
   }
 
@@ -448,9 +478,9 @@ final class ParquetTableIO(root: String) extends TableIO {
     // batch ids lead with fixed-width creation millis (newBatchId)
     val committed = committedBatches(spark, table).filter(_ <= asOf)
     notTombstoned(
-      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, committed)
-        .drop("batch"),
+      committedOnly(spark.read.schema(chunkReadSchema).parquet(dataDir(table)), spark, committed),
       spark, table, committed)
+      .drop("batch")
       .as[ChunkResult]
   }
 
@@ -508,7 +538,7 @@ final class ParquetTableIO(root: String) extends TableIO {
       case None => all
     }
     val m = readManifestRaw(spark, table)
-    notTombstoned(committedOnly(m, spark, committed).drop("batch"), spark, table, committed)
+    notTombstoned(committedOnly(m, spark, committed), spark, table, committed).drop("batch")
   }
 
   /** Committed batches with the COMMIT time (the marker file's
@@ -542,8 +572,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     // resolves to entirely-old or entirely-new, never neither
     val committed = committedBatches(spark, table)
     val m = readManifestRaw(spark, table)
-    val hits = notTombstoned(committedOnly(m, spark, committed).drop("batch"),
-        spark, table, committed)
+    val hits = notTombstoned(committedOnly(m, spark, committed), spark, table, committed)
       .filter(col("min_key") <= key && col("max_key") >= key)
       .select("file", "chunk_id")
       .collect()
@@ -566,9 +595,9 @@ final class ParquetTableIO(root: String) extends TableIO {
     notTombstoned(
       spark.read.schema(chunkReadSchema)
         .option("basePath", dataDir(table)).parquet(files.toIndexedSeq: _*)
-        .filter(col("chunk_id").isin(ids.toIndexedSeq: _*))
-        .drop("batch"),
+        .filter(col("chunk_id").isin(ids.toIndexedSeq: _*)),
       spark, table, committed)
+      .drop("batch")
       .as[ChunkResult]
   }
 
@@ -577,8 +606,7 @@ final class ParquetTableIO(root: String) extends TableIO {
     assertNotLegacy(spark, table)
     val committed = committedBatches(spark, table)
     val m = readManifestRaw(spark, table)
-    val hits = notTombstoned(committedOnly(m, spark, committed).drop("batch"),
-        spark, table, committed)
+    val hits = notTombstoned(committedOnly(m, spark, committed), spark, table, committed)
       .filter(col("column") === column)
       // null stats = not prunable (byte column / all-null chunk / pre-stats
       // writer): conservatively read
@@ -622,7 +650,7 @@ final class ParquetTableIO(root: String) extends TableIO {
       .drop("batch")
 
   override def deletedChunks(spark: SparkSession, table: String): DataFrame =
-    tombstones(spark, table, committedBatches(spark, table))
+    tombstones(spark, table, committedBatches(spark, table)).select("chunk_id", "column")
 
   /** Physical reclamation, safe subset: delete data files whose EVERY
     * (chunk, column) row is tombstoned, then rebuild the manifest. No data
@@ -637,15 +665,20 @@ final class ParquetTableIO(root: String) extends TableIO {
   def vacuum(spark: SparkSession, table: String): Long = {
     assertNotLegacy(spark, table)
     if (!hasTombstones(spark, table)) return 0L
-    // raw manifest (tombstones NOT filtered) → per-file live counts
+    // raw manifest (tombstones NOT filtered) → per-file live counts.
+    // Dead rows via a SEMI-join under the batch-scoped tombstone
+    // condition (a plain left join could duplicate a manifest row that
+    // multiple tombstones match and inflate the dead count)
     val raw = readManifestRaw(spark, table)
-    val perFile = raw
-      .join(broadcast(tombstones(spark, table, committedBatches(spark, table))
-          .distinct().withColumn("__dead", lit(1))),
-        Seq("chunk_id", "column"), "left")
-      .groupBy("file")
-      .agg(count(lit(1)).as("n"), sum(coalesce(col("__dead"), lit(0))).as("nDead"))
-      .select(col("file"), (col("n") === col("nDead")).as("allDead"))
+    val t = broadcast(tombstones(spark, table, committedBatches(spark, table)))
+    val total = raw.groupBy("file").agg(count(lit(1)).as("n"))
+    val deadCounts = raw.join(t,
+        raw("chunk_id") === t("chunk_id") && raw("column") === t("column") &&
+          raw("batch") < t("applies_before"),
+        "left_semi")
+      .groupBy("file").agg(count(lit(1)).as("nDead"))
+    val perFile = total.join(deadCounts, Seq("file"), "left")
+      .select(col("file"), (col("n") === coalesce(col("nDead"), lit(0L))).as("allDead"))
       .collect()
     val dead = perFile.filter(_.getBoolean(1)).map(_.getString(0))
     if (dead.isEmpty) return 0L

@@ -60,7 +60,7 @@ final class FsstCatalog extends TableCatalog {
     if (!fs.exists(rootPath)) return Array.empty
     fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
       .filter(t => io.tableExists(spark, t) ||
-        FsstCatalog.readDeclaredSchema(spark, root, t).isDefined)
+        FsstCatalog.declaredSchemaExists(spark, root, t))
       .map(t => Identifier.of(Array.empty, t))
   }
 
@@ -99,9 +99,15 @@ final class FsstCatalog extends TableCatalog {
     if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
     val dollar = ident.name.indexOf('$')
     if (dollar > 0) {
+      // metadata views describe the CURRENT catalog state; silently
+      // returning current rows under VERSION/TIMESTAMP AS OF would be
+      // wrong-answer time travel
+      require(asOf.isEmpty, s"time travel is not supported on metadata table '${ident.name}'")
       val base = ident.name.substring(0, dollar)
       if (!tableExists(Identifier.of(Array.empty, base))) throw new NoSuchTableException(ident)
-      return metaTable(base, ident.name.substring(dollar + 1))
+      val kind = ident.name.substring(dollar + 1)
+      if (kind != "snapshots" && kind != "chunks") throw new NoSuchTableException(ident)
+      return metaTable(base, kind)
     }
     try FsstDataSource.resolve(tableOptions(ident.name, asOf))
     catch {
@@ -129,6 +135,8 @@ final class FsstCatalog extends TableCatalog {
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
+    require(!ident.name.contains('$'),
+      s"time travel is not supported on metadata table '${ident.name}'")
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
     val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
@@ -145,7 +153,7 @@ final class FsstCatalog extends TableCatalog {
     ident.namespace.isEmpty && {
       val spark = SparkSession.active
       new ParquetTableIO(root).tableExists(spark, ident.name) ||
-        FsstCatalog.readDeclaredSchema(spark, root, ident.name).isDefined
+        FsstCatalog.declaredSchemaExists(spark, root, ident.name)
     }
 
   /** `CREATE TABLE cat.t (key STRING, …) USING fsst` — writes the
@@ -163,6 +171,8 @@ final class FsstCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (ident.namespace.nonEmpty) throw new NoSuchNamespaceException(ident.namespace)
+    require(!ident.name.contains('$'),
+      s"'$$' is reserved for metadata-table addressing (t$$snapshots); invalid name '${ident.name}'")
     require(partitions.isEmpty,
       "fsst tables are chunk-partitioned by the engine; PARTITIONED BY is not supported")
     require(schema.fields.length >= 2 && schema.fields(0).name == "key" &&
@@ -255,6 +265,15 @@ object FsstCatalog {
   private def schemaPath(root: String, table: String) =
     new org.apache.hadoop.fs.Path(s"$root/$table/_schema.json")
 
+  /** Existence-only probe: listTables/tableExists must not read+parse
+    * every sidecar (and a corrupt one must not break listing the whole
+    * catalog).
+    */
+  def declaredSchemaExists(spark: SparkSession, root: String, table: String): Boolean = {
+    val p = schemaPath(root, table)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def readDeclaredSchema(spark: SparkSession, root: String, table: String): Option[StructType] = {
     val p = schemaPath(root, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -269,11 +288,17 @@ object FsstCatalog {
     }
   }
 
+  /** Temp-then-rename so a crash mid-write cannot leave a truncated
+    * sidecar that breaks every later resolve of the table.
+    */
   def writeDeclaredSchema(spark: SparkSession, root: String, table: String,
       schema: StructType): Unit = {
     val p = schemaPath(root, table)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s"._schema.json.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"schema sidecar rename $tmp -> $p failed")
   }
 }

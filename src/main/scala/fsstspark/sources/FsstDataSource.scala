@@ -228,13 +228,29 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     * case. Row-level deletes are a rewrite (compaction) concern, not a
     * metadata operation.
     */
+  // canDeleteWhere → deleteWhere run on the same Table instance within
+  // one DELETE: cache the victims so the manifest is scanned ONCE, and
+  // so a concurrent commit between the two calls cannot flip an
+  // accepted delete into a mid-execution failure (the plan-time answer
+  // is the one executed — standard snapshot-at-plan semantics)
+  @volatile private var cachedDelete: Option[(Seq[Filter], Option[Array[(Long, String)]])] = None
+
+  private def victimsFor(filters: Array[Filter]): Option[Array[(Long, String)]] =
+    cachedDelete match {
+      case Some((k, v)) if k == filters.toSeq => v
+      case _ =>
+        val v = FsstScan.chunkAlignedVictims(root, tableName, filters)
+        cachedDelete = Some((filters.toSeq, v))
+        v
+    }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && FsstScan.chunkAlignedVictims(root, tableName, filters).isDefined
+    asOf.isEmpty && victimsFor(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty, "cannot delete from a snapshot-pinned fsst table")
     val spark = SparkSession.active
-    val victims = FsstScan.chunkAlignedVictims(root, tableName, filters).getOrElse(
+    val victims = victimsFor(filters).getOrElse(
       throw new UnsupportedOperationException(
         "DELETE FROM fsst table: the predicate does not align with chunk boundaries " +
           "(only whole-chunk key-range deletes are metadata operations; rewrite via " +

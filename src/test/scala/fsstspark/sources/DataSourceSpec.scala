@@ -609,6 +609,12 @@ class DataSourceSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.pages VERSION AS OF '$firstBatch'")
       .collect()(0).getLong(0) == n)
+    // regression: re-appending IDENTICAL content after TRUNCATE must be
+    // visible — content-derived chunk ids repeat, and tombstones are
+    // batch-scoped (they kill only instances that predate the delete)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pages").collect()(0).getLong(0) == n,
+      "re-inserted rows after TRUNCATE were swallowed by stale tombstones")
   }
 
   test("tombstoned chunks are invisible to the connector") {
