@@ -220,12 +220,15 @@ final class ParquetTableIO(root: String) extends TableIO {
     assertManifestNotLegacy(spark, table)
     val p = new org.apache.hadoop.fs.Path(manifestDir(table))
     if (!fs(spark, manifestDir(table)).exists(p)) {
-      // only a genuinely EMPTY table (DDL sidecar, no committed batches)
-      // reads as an empty manifest; a table WITH commits but no manifest
-      // directory is corruption and must fail loudly, not silently hide
-      // every chunk (the assertNotLegacy contract)
-      require(committedBatches(spark, table).isEmpty,
-        s"catalog table '$table' has committed batches but no manifest directory — " +
+      // only a table with NO DATA reads as an empty manifest (DDL sidecar
+      // not yet inserted into, or commit markers from data-less delete
+      // batches alone — the tombstone-seeded ledger state); a table WITH
+      // data files but no manifest directory is corruption and must fail
+      // loudly, not silently hide every chunk (the assertNotLegacy
+      // contract)
+      require(committedBatches(spark, table).isEmpty ||
+          !fs(spark, dataDir(table)).exists(new org.apache.hadoop.fs.Path(dataDir(table))),
+        s"catalog table '$table' has data but no manifest directory — " +
           "run repairManifest to rebuild it from the data files")
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
     } else spark.read.schema(manifestSchema).parquet(manifestDir(table))
@@ -319,6 +322,13 @@ final class ParquetTableIO(root: String) extends TableIO {
     * re-INSERT of identical rows silently swallowed the new data.
     * Legacy immediate tombstones (null gate) apply to every batch
     * (`applies_before` = '~', which sorts after every `b…` id).
+    *
+    * The comparison is on batch MINT order, which equals commit order
+    * under the catalog's single-writer contract (operations are
+    * serialized, so a batch minted before a delete also committed before
+    * it). A hypothetical concurrent writer that minted before a delete
+    * but committed after would be caught by the scope — one of the
+    * interleavings the single-writer contract exists to exclude.
     */
   private def tombstones(spark: SparkSession, table: String, committed: Array[String]): DataFrame = {
     import spark.implicits._

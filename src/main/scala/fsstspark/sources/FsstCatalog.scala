@@ -59,8 +59,11 @@ final class FsstCatalog extends TableCatalog {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Array.empty
     fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(t => io.tableExists(spark, t) ||
-        FsstCatalog.declaredSchemaExists(spark, root, t))
+      // '$' is reserved for metadata-table addressing: a directory with a
+      // '$' in its name is unaddressable through SQL (rename it on disk
+      // to migrate), so listing it would advertise an unloadable table
+      .filter(t => !t.contains('$') && (io.tableExists(spark, t) ||
+        FsstCatalog.declaredSchemaExists(spark, root, t)))
       .map(t => Identifier.of(Array.empty, t))
   }
 
@@ -83,14 +86,12 @@ final class FsstCatalog extends TableCatalog {
   private def metaTable(base: String, kind: String): Table = {
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
-    val df = kind match {
-      case "snapshots" => io.snapshots(spark, base)
-      case "chunks" => io.manifest(spark, base)
+    // kind is validated by load() (unknown suffixes are NoSuchTable there)
+    val df =
+      if (kind == "snapshots") io.snapshots(spark, base)
+      else io.manifest(spark, base)
         .select("column", "chunk_id", "codec", "n_rows", "bytes_in", "bytes_out",
           "min_key", "max_key", "value_min", "value_max")
-      case other => throw new IllegalArgumentException(
-        s"unknown fsst metadata table '$$${other}' — supported: $$snapshots, $$chunks")
-    }
     new FsstLocalTable(s"$base$$$kind", df.schema,
       df.collect().map(_.toSeq).toSeq)
   }

@@ -177,10 +177,17 @@ object FsstDataSource {
     var cols = colsOf(io.manifestOpt(spark, table, o.asOf))
     // a fully-TRUNCATED table still resolves: deletes don't change column
     // types, so typing falls back to the manifest without tombstone
-    // filtering (the ingest-ledger view)
-    if (cols.isEmpty)
-      cols = colsOf(io.manifestForBatches(spark, table,
-        io.committedBatchIds(spark, table).toIndexedSeq))
+    // filtering (the ingest-ledger view) — restricted to the snapshot's
+    // batches when pinned, or a `VERSION AS OF` an all-deleted snapshot
+    // would type itself from columns added AFTER the snapshot
+    if (cols.isEmpty) {
+      val batches = io.committedBatchIds(spark, table)
+      val inScope = o.asOf match {
+        case Some(b) => batches.filter(_ <= b)
+        case None => batches
+      }
+      cols = colsOf(io.manifestForBatches(spark, table, inScope.toIndexedSeq))
+    }
     // reachable even though tableExists passed: a catalog holding only
     // data-less delete batches has commit markers but no manifest rows
     require(cols.nonEmpty, s"fsst table '$table' at '$root' has no readable columns")
@@ -260,6 +267,9 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
       new ParquetTableIO(root).removeChunks(spark, tableName,
         victims.toSeq.toDF("chunk_id", "column"))
     }
+    // the plan-time answer is now stale: a reused Table instance must
+    // recompute for any further DELETE with the same filters
+    cachedDelete = None
   }
 }
 

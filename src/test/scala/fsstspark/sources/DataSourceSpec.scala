@@ -590,8 +590,11 @@ class DataSourceSpec extends AnyFunSuite {
     // a NON-aligned predicate refuses (boundary strictly inside a LIVE chunk)
     val live = io.manifest(spark, "pages").filter(col("column") === "text")
       .select("min_key", "max_key").orderBy("min_key").collect()
-    val liveChunk = live.find(r => r.getString(0) != r.getString(1)).get
-    val mid = liveChunk.getString(0) + "0" // > min, < max within the chunk
+    val liveChunk = live.find(r => r.getString(0) != r.getString(1))
+      .getOrElse(fail("fixture yielded only single-key chunks; shrink chunkBytes"))
+    // min+" " is strictly between min and max whenever min < max and
+    // keys contain no NUL — fixture-spacing independent
+    val mid = liveChunk.getString(0) + " "
     assert(mid > liveChunk.getString(0) && mid < liveChunk.getString(1))
     val e = intercept[Exception] {
       spark.sql(s"DELETE FROM $cat.pages WHERE key <= '$mid'")
