@@ -129,10 +129,29 @@ final class ParquetTableIO(root: String) extends TableIO {
   private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Flip the commit marker — AFTER enforcing mint-order commit order.
+    * Streaming offsets and the `<= asOf` snapshot filter both rely on
+    * "lexicographic (mint) id order == commit order": a batch committing
+    * AFTER a larger id already committed would be silently dropped by
+    * any stream whose watermark already passed it, and would
+    * retroactively mutate a pinned `VERSION AS OF` snapshot. That can
+    * only happen when two writers run concurrently (the documented
+    * single-writer contract is being violated) — fail the LATE commit
+    * loudly so the violation surfaces as a write error instead of
+    * silent data loss; the batch stays uncommitted (invisible) and the
+    * write can be re-run, which mints a fresh, in-order id.
+    */
   private def commitBatch(spark: SparkSession, table: String, batch: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(commitsDir(table))
     val f = fs(spark, commitsDir(table))
     f.mkdirs(dir)
+    val late = committedBatches(spark, table).filter(_ > batch)
+    if (late.nonEmpty)
+      throw new IllegalStateException(
+        s"catalog table '$table': batch '$batch' would commit OUT OF MINT ORDER — " +
+          s"'${late.max}' is already committed. A concurrent writer violated the " +
+          "single-writer contract; this batch remains uncommitted (invisible) — " +
+          "re-run the write to mint a fresh id.")
     f.create(new org.apache.hadoop.fs.Path(dir, batch), true).close()
   }
 
@@ -431,6 +450,12 @@ final class ParquetTableIO(root: String) extends TableIO {
   def batchColumnDir(table: String, batch: String, column: String): String =
     s"${dataDir(table)}/batch=$batch/column=$column"
 
+  /** One batch's data directory (the external writer's commit-time
+    * orphan sweep lists it).
+    */
+  def batchDataDir(table: String, batch: String): String =
+    s"${dataDir(table)}/batch=$batch"
+
   /** Commit an externally-written batch: append its manifest rows (under
     * the batch's own manifest partition) and flip the commit marker.
     * `manifest` must carry the manifest schema minus `batch` (file,
@@ -443,6 +468,34 @@ final class ParquetTableIO(root: String) extends TableIO {
       .write.partitionBy("batch").mode(SaveMode.Append).parquet(manifestDir(table))
     commitBatch(spark, table, batch)
   }
+
+  /** Commit an externally-written batch TOGETHER with chunk deletes, as
+    * ONE snapshot — the external-writer form of [[replaceChunks]] and
+    * the primitive `INSERT OVERWRITE` needs: the new data and manifest
+    * are already on disk (uncommitted), the tombstones land GATED on
+    * this batch, and the single commit marker flips adds and deletes
+    * into visibility together. A crash before the marker leaves the old
+    * state intact (uncommitted data + inert gated tombstones); after,
+    * the new state. `victims` carries (chunk_id, column); `manifest`
+    * may be empty (a pure-overwrite-to-empty still deletes atomically).
+    */
+  def commitExternalBatchWithDeletes(spark: SparkSession, table: String, batch: String,
+      manifest: Option[DataFrame], victims: DataFrame): Unit = {
+    manifest.foreach(_.withColumn("batch", lit(batch))
+      .write.partitionBy("batch").mode(SaveMode.Append).parquet(manifestDir(table)))
+    victims.select(col("chunk_id").cast("long"), col("column").cast("string"),
+        lit(batch).as("gated_by"))
+      .write.mode(SaveMode.Append).parquet(tombDir(table))
+    commitBatch(spark, table, batch)
+  }
+
+  /** A fresh id strictly after every id this table has committed —
+    * public for non-batch catalog metadata that must order against the
+    * commit log (e.g. the schema-evolution sidecar's per-column
+    * "added after" watermark). Nothing is written or committed.
+    */
+  def newWatermark(spark: SparkSession, table: String): String =
+    mintBatchId(spark, table)
 
   /** Abort an externally-written batch: delete its (uncommitted, hence
     * invisible) data directory. Idempotent.
@@ -661,6 +714,37 @@ final class ParquetTableIO(root: String) extends TableIO {
 
   override def deletedChunks(spark: SparkSession, table: String): DataFrame =
     tombstones(spark, table, committedBatches(spark, table)).select("chunk_id", "column")
+
+  /** The manifest parquet files of the given batches, one listStatus per
+    * batch directory — the distributed `$chunks` metadata scan plans one
+    * partition per file, so the manifest is READ ON EXECUTORS and the
+    * driver only ever lists file names.
+    */
+  def manifestFiles(spark: SparkSession, table: String,
+      batches: Seq[String]): Array[(String, String)] = {
+    assertManifestNotLegacy(spark, table)
+    val f = fs(spark, manifestDir(table))
+    batches.iterator.flatMap { b =>
+      val p = new org.apache.hadoop.fs.Path(s"${manifestDir(table)}/batch=$b")
+      if (!f.exists(p)) Iterator.empty
+      else f.listStatus(p).iterator.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.map(st => (st.getPath.toString, b))
+    }.toArray
+  }
+
+  /** The EFFECTIVE tombstones under the current committed snapshot as
+    * plain rows (chunk_id, column, applies_before) — metadata-sized (one
+    * row per delete, far smaller than the manifest), collected so a
+    * distributed metadata reader can apply the batch-scoped filter
+    * per-row without a join.
+    */
+  def effectiveTombstones(spark: SparkSession, table: String): Array[(Long, String, String)] = {
+    import spark.implicits._
+    tombstones(spark, table, committedBatches(spark, table))
+      .as[(Long, String, String)].collect()
+  }
 
   /** Physical reclamation, safe subset: delete data files whose EVERY
     * (chunk, column) row is tombstoned, then rebuild the manifest. No data

@@ -80,20 +80,22 @@ final class FsstCatalog extends TableCatalog {
   }
 
   /** Iceberg-style metadata tables: `SELECT * FROM cat.`t$snapshots``
-    * (commit log) and ``t$chunks`` (the live manifest view). Materialized
-    * at load — both are metadata-sized.
+    * (commit log) and ``t$chunks`` (the live manifest view). Nothing is
+    * materialized at load: `$snapshots` (one row per commit marker —
+    * inherently tiny) computes its rows when the scan PLANS, and
+    * `$chunks` is a genuinely DISTRIBUTED scan over the manifest parquet
+    * files (one partition per file, rows read on executors with the
+    * batch-scoped tombstone filter applied per-row) — at 100 TB the
+    * manifest is O(chunks × columns) rows and must never transit the
+    * driver.
     */
   private def metaTable(base: String, kind: String): Table = {
-    val spark = SparkSession.active
-    val io = new ParquetTableIO(root)
     // kind is validated by load() (unknown suffixes are NoSuchTable there)
-    val df =
-      if (kind == "snapshots") io.snapshots(spark, base)
-      else io.manifest(spark, base)
-        .select("column", "chunk_id", "codec", "n_rows", "bytes_in", "bytes_out",
-          "min_key", "max_key", "value_min", "value_max")
-    new FsstLocalTable(s"$base$$$kind", df.schema,
-      df.collect().map(_.toSeq).toSeq)
+    if (kind == "chunks") new FsstChunksTable(root, base)
+    else new FsstLocalTable(s"$base$$snapshots", FsstCatalog.SnapshotsSchema, () => {
+      val spark = SparkSession.active
+      new ParquetTableIO(root).snapshots(spark, base).collect().map(_.toSeq).toSeq
+    })
   }
 
   private def load(ident: Identifier, asOf: Option[String]): Table = {
@@ -203,18 +205,62 @@ final class FsstCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"fsst catalog '$catalogName' does not support $op — schema evolution and renames " +
-        "are catalog-maintenance operations, not SQL DDL")
+      s"fsst catalog '$catalogName' does not support $op — column renames/type changes " +
+        "rewrite data and are catalog-maintenance operations, not SQL DDL")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** `ALTER TABLE t ADD COLUMN c <type>` — metadata-only schema
+    * evolution: the declared-schema sidecar gains the column plus a
+    * per-column WATERMARK (a fresh id ordering strictly after every
+    * committed batch), and reads null-pad the column for chunks from
+    * batches that predate it. INSERTs after the ALTER land the column
+    * normally. Everything else (rename, retype, reorder) is rejected —
+    * those rewrite data.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
+    require(!ident.name.contains('$'),
+      s"cannot ALTER metadata table '${ident.name}'")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(root)
+    // declared schema, or bake the inferred one in on first evolution
+    var schema = FsstCatalog.readDeclaredSchema(spark, root, ident.name)
+      .getOrElse(FsstDataSource.resolve(tableOptions(ident.name, None)).schema())
+    var since = FsstCatalog.readColumnSince(spark, root, ident.name)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"fsst tables have no nested columns: ${add.fieldNames.mkString(".")}")
+        val colName = add.fieldNames()(0)
+        require(colName != "key", "cannot add a column named 'key'")
+        require(!schema.fieldNames.contains(colName), s"column '$colName' already exists")
+        require(!colName.exists(c => c == '$' || c == '\t' || c == '\n' || c == '/'),
+          s"invalid column name '$colName'")
+        require(add.isNullable,
+          s"added column '$colName' must be nullable — existing rows read NULL")
+        require(Seq(StringType, BinaryType, LongType, DoubleType).contains(add.dataType),
+          s"column $colName: fsst stores STRING/BINARY/BIGINT/DOUBLE, got ${add.dataType.sql}")
+        schema = schema.add(StructField(colName, add.dataType, nullable = true))
+        // watermark sorts after every committed batch: exactly the
+        // already-committed batches null-pad; the next INSERT carries it
+        since = since + (colName -> io.newWatermark(spark, ident.name))
+      case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    }
+    FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
+    FsstCatalog.writeColumnSince(spark, root, ident.name, since)
+    loadTable(ident)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 }
 
-/** A tiny driver-materialized table for the metadata views. */
+/** A tiny LAZY table for driver-computable metadata views: `rows` runs
+  * when the scan plans (every query execution sees fresh catalog
+  * state), never at load.
+  */
 private[sources] final class FsstLocalTable(tname: String, tschema: StructType,
-    rows: Seq[Seq[Any]])
+    rows: () => Seq[Seq[Any]])
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.read._
   override def name(): String = tname
@@ -228,7 +274,7 @@ private[sources] final class FsstLocalTable(tname: String, tschema: StructType,
         override def readSchema(): StructType = tschema
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
-          Array(LocalRowsPartition(rows))
+          Array(LocalRowsPartition(rows()))
         override def createReaderFactory(): PartitionReaderFactory =
           new PartitionReaderFactory {
             override def createReader(p: InputPartition):
@@ -256,7 +302,130 @@ private[sources] final class FsstLocalTable(tname: String, tschema: StructType,
 private[sources] final case class LocalRowsPartition(rows: Seq[Seq[Any]])
     extends org.apache.spark.sql.connector.read.InputPartition
 
+/** `t$chunks` — the live manifest view as a DISTRIBUTED scan: one input
+  * partition per manifest parquet file (driver cost = one file listing),
+  * rows read on executors via parquet-hadoop, tombstone filtering
+  * applied per-row from the broadcast-small effective-tombstone list
+  * (batch-scoped: a row dies iff its batch predates the newest gate for
+  * its (chunk_id, column)). Reads the file's OWN schema — pre-zone-stats
+  * manifest generations simply surface null stats.
+  */
+private[sources] final class FsstChunksTable(root: String, base: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = s"$base$$chunks"
+  override def schema(): StructType = FsstCatalog.ChunksSchema
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = FsstCatalog.ChunksSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val spark = SparkSession.active
+          val io = new ParquetTableIO(root)
+          io.manifestFiles(spark, base, io.committedBatchIds(spark, base).toIndexedSeq)
+            .map { case (f, b) =>
+              FsstChunksPartition(f, b): InputPartition
+            }
+        }
+        override def createReaderFactory(): PartitionReaderFactory = {
+          val spark = SparkSession.active
+          val io = new ParquetTableIO(root)
+          new FsstChunksReaderFactory(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()),
+            io.effectiveTombstones(spark, base))
+        }
+      }
+    }
+}
+
+private[sources] final case class FsstChunksPartition(file: String, batch: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] final class FsstChunksReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration,
+    tombs: Array[(Long, String, String)])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new FsstChunksReader(p.asInstanceOf[FsstChunksPartition], conf.value, tombs)
+}
+
+private[sources] final class FsstChunksReader(part: FsstChunksPartition,
+    conf: org.apache.hadoop.conf.Configuration, tombs: Array[(Long, String, String)])
+    extends org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // newest gate per (chunk_id, column): a row is dead iff batch < gate
+  private val gate = {
+    val m = new java.util.HashMap[(Long, String), String]()
+    tombs.foreach { t =>
+      val k = (t._1, t._2)
+      val cur = m.get(k)
+      if (cur == null || cur < t._3) m.put(k, t._3)
+    }
+    m
+  }
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(part.file))
+    .withConf(new org.apache.hadoop.conf.Configuration(conf))
+    .build()
+  private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val cid = g.getLong("chunk_id", 0)
+      val colName = g.getBinary("column", 0).toStringUsingUTF8
+      val gateB = gate.get((cid, colName))
+      if (gateB == null || part.batch >= gateB) {
+        cur = toRow(g, cid, colName)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  private def toRow(g: org.apache.parquet.example.data.Group, cid: Long,
+      colName: String): org.apache.spark.sql.catalyst.InternalRow = {
+    def has(f: String): Boolean =
+      g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0
+    def str(f: String): Any =
+      if (has(f)) UTF8String.fromBytes(g.getBinary(f, 0).getBytes) else null
+    def lng(f: String): Any = if (has(f)) java.lang.Long.valueOf(g.getLong(f, 0)) else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(colName), cid, str("codec"),
+      g.getLong("n_rows", 0), g.getLong("bytes_in", 0), g.getLong("bytes_out", 0),
+      str("min_key"), str("max_key"), lng("value_min"), lng("value_max")))
+  }
+
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+  override def close(): Unit = reader.close()
+}
+
 object FsstCatalog {
+  import org.apache.spark.sql.types.LongType
+
+  /** Schema of `t$snapshots` — mirrors [[ParquetTableIO.snapshots]]. */
+  private[sources] val SnapshotsSchema: StructType = StructType(Seq(
+    StructField("batch", StringType), StructField("commit_millis", LongType),
+    StructField("n_chunks_added", LongType), StructField("n_deletes_gated", LongType)))
+
+  /** Schema of `t$chunks` — the manifest view minus file/batch. */
+  private[sources] val ChunksSchema: StructType = StructType(Seq(
+    StructField("column", StringType), StructField("chunk_id", LongType, nullable = false),
+    StructField("codec", StringType), StructField("n_rows", LongType, nullable = false),
+    StructField("bytes_in", LongType, nullable = false),
+    StructField("bytes_out", LongType, nullable = false),
+    StructField("min_key", StringType), StructField("max_key", StringType),
+    StructField("value_min", LongType), StructField("value_max", LongType)))
+
   /** DDL-declared schema sidecar: `<root>/<table>/_schema.json`. When
     * present it is the AUTHORITATIVE table schema (a table created with
     * `text STRING` keeps surfacing strings after data lands — manifest
@@ -293,13 +462,51 @@ object FsstCatalog {
     * sidecar that breaks every later resolve of the table.
     */
   def writeDeclaredSchema(spark: SparkSession, root: String, table: String,
-      schema: StructType): Unit = {
-    val p = schemaPath(root, table)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s"._schema.json.tmp")
+      schema: StructType): Unit =
+    writeSidecar(spark, schemaPath(root, table), schema.json)
+
+  /** Schema-evolution watermarks: `<root>/<table>/_schema_since.tsv`,
+    * one `column<TAB>watermark` line per ADDED column. A chunk from a
+    * batch sorting BEFORE the watermark null-pads the column; batches
+    * after carry it physically. Plain TSV (column names reject tabs at
+    * ALTER time) — no parser to version.
+    */
+  private def sincePath(root: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$table/_schema_since.tsv")
+
+  def readColumnSince(spark: SparkSession, root: String, table: String): Map[String, String] = {
+    val p = sincePath(root, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").split('\n').iterator
+          .map(_.trim).filter(_.nonEmpty)
+          .map { line =>
+            val cut = line.indexOf('\t')
+            require(cut > 0, s"corrupt schema-evolution sidecar line: '$line'")
+            (line.substring(0, cut), line.substring(cut + 1))
+          }.toMap
+      } finally in.close()
+    }
+  }
+
+  def writeColumnSince(spark: SparkSession, root: String, table: String,
+      since: Map[String, String]): Unit =
+    if (since.nonEmpty)
+      writeSidecar(spark, sincePath(root, table),
+        since.toSeq.sorted.map { case (c, w) => s"$c\t$w" }.mkString("\n"))
+
+  private def writeSidecar(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+      content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"schema sidecar rename $tmp -> $p failed")
+    require(fs.rename(tmp, p), s"sidecar rename $tmp -> $p failed")
   }
 }

@@ -87,7 +87,8 @@ final class FsstDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     if (schema != null && schema.nonEmpty) {
       val o = FsstDataSource.parseOptions(opts)
-      new FsstTable(o.root, o.table, schema, o.chunksPerPartition, o.columnar, o.asOf)
+      new FsstTable(o.root, o.table, schema, o.chunksPerPartition, o.columnar, o.asOf,
+        FsstCatalog.readColumnSince(SparkSession.active, o.root, o.table))
     } else FsstDataSource.resolve(opts)
   }
 
@@ -145,6 +146,7 @@ object FsstDataSource {
     // table resolves (so INSERT INTO can bootstrap it), and declared
     // string columns stay strings after data lands (manifest inference
     // would surface them as binary)
+    val columnSince = FsstCatalog.readColumnSince(spark, root, table)
     FsstCatalog.readDeclaredSchema(spark, root, table) match {
       case Some(declared) =>
         o.asOf.foreach { b =>
@@ -152,7 +154,11 @@ object FsstDataSource {
             s"fsst table '$table': snapshot '$b' is not a committed batch id " +
               "(list them via ParquetTableIO.snapshots)")
         }
-        return new FsstTable(root, table, declared, o.chunksPerPartition, o.columnar, o.asOf)
+        // a snapshot predating an added column's watermark reads it as
+        // all-null (the chunks in scope all null-pad) — Iceberg's
+        // read-with-current-schema time-travel semantics
+        return new FsstTable(root, table, declared, o.chunksPerPartition, o.columnar, o.asOf,
+          columnSince)
       case None =>
     }
     require(io.tableExists(spark, table),
@@ -207,7 +213,7 @@ object FsstDataSource {
 
 final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     chunksPerPartition: Int, columnarMode: String = "off",
-    asOf: Option[String] = None)
+    asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -216,9 +222,11 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition, columnarMode, asOf)
+    new FsstScanBuilder(root, tableName, tableSchema, chunksPerPartition, columnarMode, asOf,
+      columnSince)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -226,23 +234,25 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     new FsstWriteBuilder(root, tableName, tableSchema, info)
   }
 
-  /** `DELETE FROM` as an Iceberg-style METADATA delete: accepted only
-    * when the key predicate covers whole chunks exactly (every chunk is
-    * either fully inside or fully outside the predicate — boundary
-    * chunks refuse the delete rather than silently widening or narrowing
-    * it), in which case the victims tombstone through the catalog's
-    * snapshot-gated delete batch. `TRUNCATE TABLE` is the always-true
-    * case. Row-level deletes are a rewrite (compaction) concern, not a
-    * metadata operation.
+  /** `DELETE FROM`, two tiers (both snapshot-atomic and time-travelable):
+    *  - METADATA delete when the key predicate covers whole chunks
+    *    exactly (every chunk fully inside or fully outside): victims
+    *    tombstone through the catalog's snapshot-gated delete batch —
+    *    no data file is read. `TRUNCATE TABLE` is the always-true case.
+    *  - COPY-ON-WRITE delete for any other Catalyst-evaluable predicate
+    *    ([[FsstRowDelete]]): the chunks that may contain matches are
+    *    pruned via the manifest, decoded, re-encoded without the
+    *    matching rows, and swapped in atomically (replaceChunks) — the
+    *    Iceberg copy-on-write DELETE mode.
     */
   // canDeleteWhere → deleteWhere run on the same Table instance within
   // one DELETE: cache the victims so the manifest is scanned ONCE, and
   // so a concurrent commit between the two calls cannot flip an
   // accepted delete into a mid-execution failure (the plan-time answer
   // is the one executed — standard snapshot-at-plan semantics)
-  @volatile private var cachedDelete: Option[(Seq[Filter], Option[Array[(Long, String)]])] = None
+  @volatile private var cachedDelete: Option[(Seq[Filter], Option[org.apache.spark.sql.DataFrame])] = None
 
-  private def victimsFor(filters: Array[Filter]): Option[Array[(Long, String)]] =
+  private def victimsFor(filters: Array[Filter]): Option[org.apache.spark.sql.DataFrame] =
     cachedDelete match {
       case Some((k, v)) if k == filters.toSeq => v
       case _ =>
@@ -251,21 +261,26 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
         v
     }
 
+  // chunk-aligned predicates delete as pure metadata; anything Catalyst
+  // can evaluate on decoded rows deletes as a copy-on-write rewrite
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && victimsFor(filters).isDefined
+    asOf.isEmpty && (victimsFor(filters).isDefined ||
+      FsstRowDelete.supports(filters, tableSchema))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty, "cannot delete from a snapshot-pinned fsst table")
     val spark = SparkSession.active
-    val victims = victimsFor(filters).getOrElse(
-      throw new UnsupportedOperationException(
-        "DELETE FROM fsst table: the predicate does not align with chunk boundaries " +
-          "(only whole-chunk key-range deletes are metadata operations; rewrite via " +
-          "compaction for row-level deletes)"))
-    if (victims.nonEmpty) {
-      import spark.implicits._
-      new ParquetTableIO(root).removeChunks(spark, tableName,
-        victims.toSeq.toDF("chunk_id", "column"))
+    victimsFor(filters) match {
+      case Some(victims) =>
+        // a delete matching nothing commits nothing (no empty delete batch)
+        if (!victims.isEmpty)
+          new ParquetTableIO(root).removeChunks(spark, tableName, victims)
+      case None =>
+        // boundary-crossing predicate: Iceberg copy-on-write semantics —
+        // rewrite the affected chunks without the matching rows under one
+        // atomic snapshot (replaceChunks), so every read path (typed,
+        // connector, time travel) stays consistent
+        FsstRowDelete.deleteRows(spark, root, tableName, tableSchema, filters)
     }
     // the plan-time answer is now stale: a reused Table instance must
     // recompute for any further DELETE with the same filters
@@ -287,7 +302,7 @@ private[sources] final case class MinMaxSpec(column: String, isMin: Boolean,
 
 final class FsstScanBuilder(root: String, table: String, tableSchema: StructType,
     chunksPerPartition: Int, columnarMode: String = "off",
-    asOf: Option[String] = None)
+    asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -350,7 +365,7 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     else {
       val flat = specs.map(_.get)
       val statCols = flat.collect { case MinMaxSpec(c, _, _) if c != "key" => c }.distinct
-      if (statCols.isEmpty || statsComplete(statCols)) Some(flat) else None
+      if (statCols.isEmpty || statsComplete(statCols.toIndexedSeq)) Some(flat) else None
     }
   }
 
@@ -390,11 +405,14 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
 
   override def build(): Scan =
     new FsstScan(root, table, tableSchema, required, pushed, chunksPerPartition, agg,
-      columnarMode, asOf)
+      columnarMode, asOf, columnSince)
 }
 
 /** One fetched column of a partition: every chunk in the group has its
-  * (key_blob, value_blob) row for `column` inside `file`.
+  * (key_blob, value_blob) row for `column` inside `file`. `file == ""`
+  * marks a column ABSENT from this partition's chunks (the chunks
+  * predate the column's schema-evolution watermark) — the reader emits
+  * NULL for it.
   */
 final case class ColFile(column: String, file: String)
 
@@ -416,7 +434,7 @@ final case class AggRowPartition(values: Array[Any]) extends InputPartition
 final class FsstScan(root: String, table: String, tableSchema: StructType,
     required: StructType, filters: Array[Filter], chunksPerPartition: Int,
     agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "off",
-    asOf: Option[String] = None)
+    asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Every manifest read in this scan honors the snapshot pin. */
@@ -432,41 +450,44 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   }
 
   /** Aggregate mode: fold the manifest stats into the one result row —
-    * no data file is ever opened. Exactness argument: COUNT(*) sums
-    * n_rows (nulls included, as SQL counts them) over one column's
-    * chunks (every chunk carries each row exactly once per column); MIN/
-    * MAX over the key fold the true per-chunk key bounds in the same
-    * UTF-8 code-point order Spark compares strings in; MIN/MAX over a
-    * long/double column fold true non-null bounds (SQL MIN/MAX ignore
-    * nulls), doubles through the order-preserving SortableBits map —
-    * and the builder refused the pushdown if ANY chunk lacked stats.
+    * no data file is ever opened, and the fold itself is a DISTRIBUTED
+    * aggregation over the manifest (the driver collects exactly one
+    * row — at 100 TB the previous shape collected O(chunks) stat rows).
+    * Exactness argument: COUNT(*) sums n_rows (nulls included, as SQL
+    * counts them) over one column's chunks (every chunk carries each row
+    * exactly once per column); MIN/MAX over the key fold the true
+    * per-chunk key bounds — Spark's string MIN/MAX compare in UTF8String
+    * binary order, which is the UTF-8 code-point order the encode side
+    * recorded ([[Keys.compareUtf8]]); MIN/MAX over a long/double column
+    * fold true non-null bounds (SQL MIN/MAX ignore nulls — `min`/`max`
+    * skip the null stats of all-null chunks natively), doubles through
+    * the order-preserving SortableBits map — and the builder refused the
+    * pushdown if ANY chunk lacked stats.
     */
   private def aggRow(specs: Array[AggSpec]): Array[Any] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
     val anchor = tableSchema.fields(1).name
-    val cols = (specs.collect { case MinMaxSpec(c, _, _) if c != "key" => c } :+ anchor).distinct
-    val m = manifestDf(spark, io)
-      .filter(org.apache.spark.sql.functions.col("column").isin(cols: _*))
-      .select("column", "n_rows", "min_key", "max_key", "value_min", "value_max")
-      .collect()
-    specs.map {
-      case CountStarSpec =>
-        java.lang.Long.valueOf(m.filter(_.getString(0) == anchor).map(_.getLong(1)).sum)
-      case MinMaxSpec("key", isMin, _) =>
-        val anchorRows = m.filter(_.getString(0) == anchor)
-        if (anchorRows.isEmpty) null
-        else if (isMin) anchorRows.map(_.getString(2)).reduce((a, b) => if (Keys.lessUtf8(a, b)) a else b)
-        else anchorRows.map(_.getString(3)).reduce((a, b) => if (Keys.lessUtf8(a, b)) b else a)
-      case MinMaxSpec(c, isMin, dt) =>
-        val stats = m.filter(r => r.getString(0) == c && !r.isNullAt(4))
-          .map(r => if (isMin) r.getLong(4) else r.getLong(5))
-        if (stats.isEmpty) null
-        else {
-          val v = if (isMin) stats.min else stats.max
-          if (dt == DoubleType) java.lang.Double.valueOf(SortableBits.toDouble(v))
-          else java.lang.Long.valueOf(v)
-        }
+    val aggExprs = specs.zipWithIndex.map {
+      case (CountStarSpec, i) =>
+        coalesce(sum(when(col("column") === anchor, col("n_rows"))), lit(0L)).as(s"a$i")
+      case (MinMaxSpec("key", isMin, _), i) =>
+        (if (isMin) min(when(col("column") === anchor, col("min_key")))
+         else max(when(col("column") === anchor, col("max_key")))).as(s"a$i")
+      case (MinMaxSpec(c, isMin, _), i) =>
+        (if (isMin) min(when(col("column") === c, col("value_min")))
+         else max(when(col("column") === c, col("value_max")))).as(s"a$i")
+    }
+    val row = manifestDf(spark, io).agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*).head()
+    specs.zipWithIndex.map {
+      case (CountStarSpec, i) => java.lang.Long.valueOf(row.getLong(i))
+      case (MinMaxSpec("key", _, _), i) =>
+        if (row.isNullAt(i)) null else row.getString(i)
+      case (MinMaxSpec(_, _, dt), i) =>
+        if (row.isNullAt(i)) null
+        else if (dt == DoubleType) java.lang.Double.valueOf(SortableBits.toDouble(row.getLong(i)))
+        else java.lang.Long.valueOf(row.getLong(i))
     }
   }
 
@@ -478,6 +499,16 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     * the typed decodeColumns path rejects that state, the connector
     * serves it. Cached — `estimateStatistics` and `planInputPartitions`
     * both use it.
+    *
+    * SCALE SHAPE: the column projection, key-range predicates, and zone
+    * predicates are applied as CATALYST filters on the manifest
+    * DataFrame BEFORE the collect ([[FsstScan.pruneManifest]]) — the
+    * manifest is parquet, so they prune at row-group level exactly like
+    * [[ParquetTableIO.chunksForKey]], and the driver collects
+    * O(surviving chunks × fetched columns) rows, never
+    * O(chunks × columns). [[FsstScan.planFromManifest]] re-applies the
+    * same predicates driver-side as a residual (idempotent) and keeps
+    * only the grouping role.
     */
   private lazy val plan: (Array[ChunkGroupPartition], Long, Long) = {
     val spark = SparkSession.active
@@ -487,12 +518,17 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     val statCols = filters.flatMap(FsstScan.references).filter(c =>
       tableSchema.fields.exists(f => f.name == c &&
         (f.dataType == LongType || f.dataType == DoubleType))).toSet
+    val doubleCols = tableSchema.fields.filter(_.dataType == DoubleType).map(_.name).toSet
+    val m = manifestDf(spark, io)
     if (valueFields.isEmpty && statCols.isEmpty && !required.fieldNames.contains("key")) {
       // empty projection, no value filters: count rows straight off the
-      // manifest (any single column counts each chunk's rows exactly once)
+      // manifest (any single column counts each chunk's rows exactly once);
+      // the key predicate is pushed into the manifest parquet scan, the
+      // driver-side keySurvives is the idempotent residual
       val anchor = tableSchema.fields(1).name
-      val rows = manifestDf(spark, io)
+      val rows = m
         .filter(org.apache.spark.sql.functions.col("column") === anchor)
+        .filter(FsstScan.keyPruneCond(filters))
         .select("chunk_id", "n_rows", "min_key", "max_key")
         .collect()
         .filter(r => FsstScan.keySurvives(r.getString(2), r.getString(3), filters))
@@ -501,11 +537,28 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       }.toArray
       (parts, rows.map(_.getLong(1)).sum, 0L)
     } else {
-      val mAll = manifestDf(spark, io)
+      // key-only scans anchor on the globally smallest stored column (by
+      // manifest bytes) — resolved with a distributed aggregate, not by
+      // collecting the manifest to look. Columns ADDED by schema
+      // evolution are excluded from anchoring (pre-evolution batches
+      // lack them), and a projection of ONLY evolved columns rides a
+      // base column so pre-evolution chunks still surface (null-padded).
+      val evolved = columnSince.keySet
+      def baseAnchor: Option[String] = FsstScan.smallestColumn(
+        if (evolved.isEmpty) m
+        else m.filter(!org.apache.spark.sql.functions.col("column").isin(evolved.toSeq: _*)))
+      val (fetch, readValues) =
+        if (valueFields.nonEmpty)
+          (if (valueFields.forall(evolved.contains)) valueFields ++ baseAnchor.toSeq
+           else valueFields, true)
+        else (baseAnchor.toSeq, false)
+      val needed = (fetch ++ statCols).distinct
+      val mAll = FsstScan.pruneManifest(m, needed, filters, statCols, doubleCols)
         .select("file", "column", "chunk_id", "n_rows", "bytes_out",
           "min_key", "max_key", "value_min", "value_max")
         .collect()
-      FsstScan.planFromManifest(mAll, required, tableSchema, filters, chunksPerPartition, table)
+      FsstScan.planFromManifest(mAll, required, tableSchema, filters, chunksPerPartition, table,
+        Some((fetch, readValues)), columnSince)
     }
   }
 
@@ -533,7 +586,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     require(asOf.isEmpty,
       "a snapshot-pinned fsst table cannot be streamed — the pin freezes the commit log")
     new FsstMicroBatchStream(root, table, tableSchema, required, filters, chunksPerPartition,
-      columnarMode)
+      columnarMode, columnSince)
   }
 }
 
@@ -571,7 +624,7 @@ final case class FsstOffset(batch: String)
   */
 final class FsstMicroBatchStream(root: String, table: String, tableSchema: StructType,
     required: StructType, filters: Array[Filter], chunksPerPartition: Int,
-    columnarMode: String = "off")
+    columnarMode: String = "off", columnSince: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -617,7 +670,8 @@ final class FsstMicroBatchStream(root: String, table: String, tableSchema: Struc
       .select("file", "column", "chunk_id", "n_rows", "bytes_out",
         "min_key", "max_key", "value_min", "value_max")
       .collect()
-    FsstScan.planFromManifest(mAll, required, tableSchema, filters, chunksPerPartition, table)
+    FsstScan.planFromManifest(mAll, required, tableSchema, filters, chunksPerPartition, table,
+      None, columnSince)
       ._1.asInstanceOf[Array[InputPartition]]
   }
 
@@ -651,24 +705,45 @@ private[sources] object FsstScan {
     * ONE stored column for key blobs + row counts — chosen as the
     * SMALLEST column by manifest bytes, so e.g. a key scan of the pages
     * table rides the lang column, not html — and skip value bytes
-    * entirely (`readValues = false`).
+    * entirely (`readValues = false`). The batch scan passes its
+    * (already pruned) fetch set via `fetchOverride`; the stream lets
+    * this derive it from the micro-batch's rows.
+    *
+    * Schema evolution (`columnSince` — per-column "added after"
+    * watermark): a fetch column MISSING from an instance whose batch
+    * predates its watermark is legal and reads as all-NULL
+    * (`ColFile.file` = "" marks it absent for the reader); missing
+    * under any other circumstance stays a loud error. Without a
+    * watermark map the connector requires every batch to carry every
+    * fetched column — catalogs built by per-column appends (e.g.
+    * repeated single-column `encodeBytesLocal` + `writeChunks`) are
+    * served by the typed per-column read path, not the connector.
     */
   def planFromManifest(mAll: Array[org.apache.spark.sql.Row], required: StructType,
       tableSchema: StructType, filters: Array[Filter], chunksPerPartition: Int,
-      table: String): (Array[ChunkGroupPartition], Long, Long) = {
+      table: String, fetchOverride: Option[(Seq[String], Boolean)] = None,
+      columnSince: Map[String, String] = Map.empty): (Array[ChunkGroupPartition], Long, Long) = {
     val valueFields = required.fieldNames.filter(_ != "key").toSeq
     val doubleCols = tableSchema.fields.filter(_.dataType == DoubleType).map(_.name).toSet
     val statCols = filters.flatMap(references).filter(c =>
       tableSchema.fields.exists(f => f.name == c &&
         (f.dataType == LongType || f.dataType == DoubleType))).toSet
     if (mAll.isEmpty) return (Array.empty, 0L, 0L)
-    val (fetch, readValues) =
-      if (valueFields.nonEmpty) (valueFields, true)
-      else {
-        val anchor = mAll.groupBy(_.getString(1)).view
-          .mapValues(_.map(_.getLong(4)).sum).minBy(_._2)._1
-        (Seq(anchor), false)
+    val evolved = columnSince.keySet
+    val (fetch, readValues) = fetchOverride.getOrElse {
+      def anchor: Option[String] = {
+        val rows = if (evolved.isEmpty) mAll
+          else mAll.filterNot(r => evolved.contains(r.getString(1)))
+        if (rows.isEmpty) None
+        else Some(rows.groupBy(_.getString(1)).view
+          .mapValues(_.map(_.getLong(4)).sum).minBy(t => (t._2, t._1))._1)
       }
+      if (valueFields.nonEmpty)
+        (if (valueFields.forall(evolved.contains)) valueFields ++ anchor.toSeq
+         else valueFields, true)
+      else (anchor.toSeq, false)
+    }
+    if (fetch.isEmpty) return (Array.empty, 0L, 0L)
     val needed = (fetch ++ statCols).distinct.toSet
     val m = mAll.filter(r => needed.contains(r.getString(1)))
     // (chunk_id, batch) -> per-column manifest rows: one PHYSICAL chunk.
@@ -693,11 +768,14 @@ private[sources] object FsstScan {
       val perCol = rows.groupBy(_.getString(1))
       fetch.foreach { c =>
         val n = perCol.get(c).map(_.length).getOrElse(0)
-        require(n == 1, s"chunk $cid (batch $batch) of table '$table': " +
+        // a column added by schema evolution is legitimately absent from
+        // batches predating its watermark — the reader null-pads it
+        val absentOk = n == 0 && columnSince.get(c).exists(since => batch < since)
+        require(n == 1 || absentOk, s"chunk $cid (batch $batch) of table '$table': " +
           s"expected exactly one manifest row for column '$c', found $n")
       }
       val fileOf = perCol.view.mapValues(_.head.getString(0)).toMap
-      val tuple = fetch.map(fileOf)
+      val tuple = fetch.map(c => fileOf.getOrElse(c, ""))
       groups.getOrElseUpdate(tuple, mutable.ArrayBuffer.empty) += ((cid, rows(0).getLong(3)))
       totalRows += rows(0).getLong(3)
       totalBytes += rows.filter(r => fetch.contains(r.getString(1))).map(_.getLong(4)).sum
@@ -709,6 +787,118 @@ private[sources] object FsstScan {
       }
     }.toArray
     (parts, totalRows, totalBytes)
+  }
+
+  // ------------------------------------------------- Catalyst pruning
+  // The same key-range / zone-map tests keySurvives/valueSurvives apply
+  // driver-side, re-expressed as Catalyst Columns over the manifest
+  // DataFrame, so the pruning runs INSIDE the manifest parquet scan
+  // (row-group stats on min_key/max_key/value_min/value_max) and the
+  // driver only ever collects surviving rows. Exactness transfer: Spark
+  // compares StringType in UTF8String binary order, which IS the UTF-8
+  // code-point order of [[Keys.compareUtf8]] (property-tested in
+  // KeysSpec), and zone bounds compare as the same signed longs.
+
+  /** Catalyst form of [[keySurvives]] over manifest columns
+    * `min_key`/`max_key`. Conservative identically: non-key filters and
+    * non-string operands translate to TRUE.
+    */
+  def keyPruneCond(filters: Array[Filter]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    filters.map[org.apache.spark.sql.Column] {
+      case EqualTo("key", v: String) => col("min_key") <= lit(v) && col("max_key") >= lit(v)
+      case GreaterThan("key", v: String) => col("max_key") > lit(v)
+      case GreaterThanOrEqual("key", v: String) => col("max_key") >= lit(v)
+      case LessThan("key", v: String) => col("min_key") < lit(v)
+      case LessThanOrEqual("key", v: String) => col("min_key") <= lit(v)
+      case In("key", vs) =>
+        // exists-semantics: any non-string member makes the whole filter
+        // unprunable (TRUE), exactly like keySurvives
+        vs.map[org.apache.spark.sql.Column] {
+          case v: String => col("min_key") <= lit(v) && col("max_key") >= lit(v)
+          case _ => lit(true)
+        }.reduceOption(_ || _).getOrElse(lit(true))
+      case StringStartsWith("key", p) =>
+        nextAfterPrefix(p) match {
+          case Some(q) => col("max_key") >= lit(p) && col("min_key") < lit(q)
+          case None => col("max_key") >= lit(p)
+        }
+      case _ => lit(true)
+    }.foldLeft(lit(true))(_ && _)
+  }
+
+  /** Catalyst form of [[valueSurvives]] for ONE column's manifest rows
+    * (`value_min`/`value_max` non-null assumed — the caller guards).
+    */
+  private def zoneSurviveCond(c: String, isDouble: Boolean,
+      filters: Array[Filter]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def hit(v: Any): org.apache.spark.sql.Column = longSpace(v, isDouble)
+      .map(x => col("value_min") <= lit(x) && col("value_max") >= lit(x))
+      .getOrElse(lit(true))
+    filters.map[org.apache.spark.sql.Column] {
+      case EqualTo(`c`, v) => hit(v)
+      case GreaterThan(`c`, v) =>
+        longSpace(v, isDouble).map(x => col("value_max") > lit(x)).getOrElse(lit(true))
+      case GreaterThanOrEqual(`c`, v) =>
+        longSpace(v, isDouble).map(x => col("value_max") >= lit(x)).getOrElse(lit(true))
+      case LessThan(`c`, v) =>
+        longSpace(v, isDouble).map(x => col("value_min") < lit(x)).getOrElse(lit(true))
+      case LessThanOrEqual(`c`, v) =>
+        longSpace(v, isDouble).map(x => col("value_min") <= lit(x)).getOrElse(lit(true))
+      case In(`c`, vs) =>
+        vs.map(hit).reduceOption(_ || _).getOrElse(lit(true))
+      case _ => lit(true)
+    }.foldLeft(lit(true))(_ && _)
+  }
+
+  /** A manifest row FAILS its zone test (the chunk instance provably
+    * holds no matching row). None when no filtered long/double column —
+    * the common case skips the anti-join entirely.
+    */
+  private def zoneFailCond(filters: Array[Filter], statCols: Set[String],
+      doubleCols: Set[String]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    if (statCols.isEmpty) None
+    else Some(statCols.toSeq.sorted.map { c =>
+      col("column") === c && col("value_min").isNotNull && col("value_max").isNotNull &&
+        !zoneSurviveCond(c, doubleCols.contains(c), filters)
+    }.reduce(_ || _))
+  }
+
+  /** The globally smallest stored column by manifest bytes — the anchor
+    * a key-only scan rides. One distributed aggregate; the driver
+    * collects a single row. None on an empty manifest.
+    */
+  def smallestColumn(m: org.apache.spark.sql.DataFrame): Option[String] = {
+    import org.apache.spark.sql.functions.{col, sum}
+    m.groupBy("column").agg(sum("bytes_out").as("b"))
+      .orderBy(col("b"), col("column")).limit(1)
+      .collect().headOption.map(_.getString(0))
+  }
+
+  /** Push the column projection, key predicates, and zone predicates
+    * into the manifest DataFrame. A chunk instance whose ANY fetched/
+    * filtered column fails its zone test is removed WHOLE via an
+    * anti-join on (chunk_id, batch-from-file-path) — filtering rows
+    * individually would orphan the instance's other columns' rows and
+    * trip planFromManifest's completeness check.
+    */
+  def pruneManifest(m: org.apache.spark.sql.DataFrame, needed: Seq[String],
+      filters: Array[Filter], statCols: Set[String],
+      doubleCols: Set[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val base = m.filter(col("column").isin(needed: _*)).filter(keyPruneCond(filters))
+    zoneFailCond(filters, statCols, doubleCols) match {
+      case None => base
+      case Some(fail) =>
+        val inst = regexp_extract(col("file"), "batch=([^/]*)", 1)
+        val dead = base.filter(fail)
+          .select(col("chunk_id").as("__dead_id"), inst.as("__dead_b")).distinct()
+        base.join(dead,
+          base("chunk_id") === col("__dead_id") && inst === col("__dead_b"),
+          "left_anti")
+    }
   }
 
   /** Whole-value equality / IN-list filters on byte/string columns,
@@ -737,6 +927,35 @@ private[sources] object FsstScan {
     }.flatten
   }
 
+  /** Catalyst form of "the predicate is TRUE for EVERY key in
+    * [min_key, max_key]" — the chunk-aligned-delete coverage test. None
+    * when some filter TYPE is not decidable from key metadata (the
+    * decidability is static — per filter type/column, not per row).
+    */
+  private[sources] def fullyTrueCond(filters: Array[Filter]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def one(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+      case _: AlwaysTrue => Some(lit(true))
+      case EqualTo("key", v: String) =>
+        Some(col("min_key") === lit(v) && col("max_key") === lit(v))
+      case GreaterThan("key", v: String) => Some(col("min_key") > lit(v))
+      case GreaterThanOrEqual("key", v: String) => Some(col("min_key") >= lit(v))
+      case LessThan("key", v: String) => Some(col("max_key") < lit(v))
+      case LessThanOrEqual("key", v: String) => Some(col("max_key") <= lit(v))
+      case StringStartsWith("key", p) =>
+        // [p, nextAfterPrefix(p)) is exactly the prefix-p interval
+        Some(nextAfterPrefix(p) match {
+          case Some(q) => col("min_key") >= lit(p) && col("max_key") < lit(q)
+          case None => col("min_key") >= lit(p) && col("min_key").startsWith(p)
+        })
+      case And(l, r) => for (a <- one(l); b <- one(r)) yield a && b
+      case _ => None // not decidable from metadata → not chunk-aligned
+    }
+    filters.foldLeft(Option(lit(true))) { (acc, f) =>
+      for (a <- acc; b <- one(f)) yield a && b
+    }
+  }
+
   /** The (chunk_id, column) victims of a CHUNK-ALIGNED delete, or None
     * when the predicate does not align. Exactness: every chunk (and
     * every duplicate-id instance — tombstones are id-granular, so all
@@ -746,48 +965,32 @@ private[sources] object FsstScan {
     * from metadata — keys are non-null and ranges are exact bounds; a
     * value predicate cannot prove a chunk fully-covered (null counts are
     * not recorded), so any non-key filter refuses.
+    *
+    * Fully distributed: the alignment check and the duplicate-id
+    * agreement check are each a filter + limit-1 probe on the manifest
+    * (the pruning predicates push into the manifest parquet scan), and
+    * the victim set comes back as a DATAFRAME the tombstone write
+    * consumes without ever collecting O(victims) rows to the driver — a
+    * TRUNCATE of a 100 TB table stays metadata-distributed end to end.
     */
   def chunkAlignedVictims(root: String, table: String,
-      filters: Array[Filter]): Option[Array[(Long, String)]] = {
-    def fullyTrue(f: Filter, mn: String, mx: String): Option[Boolean] = f match {
-      case _: AlwaysTrue => Some(true)
-      case EqualTo("key", v: String) =>
-        Some(Keys.compareUtf8(mn, v) == 0 && Keys.compareUtf8(mx, v) == 0)
-      case GreaterThan("key", v: String) => Some(Keys.compareUtf8(mn, v) > 0)
-      case GreaterThanOrEqual("key", v: String) => Some(Keys.compareUtf8(mn, v) >= 0)
-      case LessThan("key", v: String) => Some(Keys.compareUtf8(mx, v) < 0)
-      case LessThanOrEqual("key", v: String) => Some(Keys.compareUtf8(mx, v) <= 0)
-      case StringStartsWith("key", p) =>
-        // [p, nextAfterPrefix(p)) is exactly the prefix-p interval
-        Some(Keys.compareUtf8(mn, p) >= 0 &&
-          nextAfterPrefix(p).forall(q => Keys.compareUtf8(mx, q) < 0) &&
-          (nextAfterPrefix(p).isDefined || mn.startsWith(p)))
-      case And(l, r) => for (a <- fullyTrue(l, mn, mx); b <- fullyTrue(r, mn, mx)) yield a && b
-      case _ => None // not decidable from metadata → not chunk-aligned
-    }
+      filters: Array[Filter]): Option[org.apache.spark.sql.DataFrame] = {
     val effective = if (filters.isEmpty) Array[Filter](new AlwaysTrue()) else filters
+    val full = fullyTrueCond(effective).getOrElse(return None)
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
-    val rows = io.manifest(spark, table)
-      .select("chunk_id", "column", "min_key", "max_key").collect()
-    val perRow = rows.map { r =>
-      val (mn, mx) = (r.getString(2), r.getString(3))
-      val full = effective.foldLeft(Option(true)) { (acc, f) =>
-        for (a <- acc; b <- fullyTrue(f, mn, mx)) yield a && b
-      }
-      full match {
-        case None => return None // some filter undecidable from metadata
-        case Some(true) => (r.getLong(0), r.getString(1), 1)
-        case Some(false) =>
-          // fully-false required: a partially-matching chunk breaks alignment
-          if (keySurvives(mn, mx, effective)) return None
-          (r.getLong(0), r.getString(1), 0)
-      }
-    }
-    // duplicate-id instances must agree (tombstones kill the whole id)
-    val byId = perRow.groupBy(_._1)
-    if (byId.values.exists(g => g.map(_._3).distinct.length > 1)) return None
-    Some(perRow.filter(_._3 == 1).map(r => (r._1, r._2)).distinct)
+    val m = io.manifest(spark, table).select("chunk_id", "column", "min_key", "max_key")
+    val mayMatch = keyPruneCond(effective)
+    // alignment: a chunk that MAY contain a matching key but is not
+    // FULLY covered breaks chunk alignment
+    if (!m.filter(mayMatch && !full).isEmpty) return None
+    // duplicate-id agreement: an id with both a victim instance and a
+    // non-victim instance cannot be tombstoned (tombstones kill the id)
+    val victims = m.filter(mayMatch)
+    val nonVictims = m.filter(!mayMatch)
+    if (!nonVictims.join(victims.select("chunk_id").distinct(), Seq("chunk_id"), "left_semi")
+        .isEmpty) return None
+    Some(victims.select("chunk_id", "column").distinct())
   }
 
   /** Filters this source can use for chunk pruning. */
@@ -968,7 +1171,11 @@ private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGr
     conf: Configuration, eqFilters: Array[ColEquals]) {
 
   val fields: Array[StructField] = schema.fields
-  val colOf: Map[String, Int] = part.colFiles.map(_.column).zipWithIndex.toMap
+  /** PRESENT columns only — an absent (schema-evolution null-padded)
+    * column never resolves here, so emitters fall to their null path.
+    */
+  val colOf: Map[String, Int] = part.colFiles.zipWithIndex
+    .collect { case (cf, i) if cf.file.nonEmpty => cf.column -> i }.toMap
 
   private def loadColumn(cf: ColFile): java.util.HashMap[java.lang.Long, (Array[Byte], Array[Byte])] = {
     val c = new Configuration(conf)
@@ -1000,18 +1207,25 @@ private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGr
   }
 
   def decodedChunks(): Iterator[DecodedChunk] = {
-    val byCol = part.colFiles.map(cf => cf.column -> loadColumn(cf)).toMap
+    val present = part.colFiles.filter(_.file.nonEmpty)
+    require(present.nonEmpty || part.colFiles.isEmpty,
+      "chunk group with every column absent — planner must anchor on a present column")
+    val byCol = present.map(cf => cf.column -> loadColumn(cf)).toMap
     val wantKey = fields.exists(_.name == "key")
     val eqApplicable = eqFilters.filter(e => colOf.contains(e.column))
     part.chunkIds.iterator.zipWithIndex.flatMap { case (cid, chunkIdx) =>
+      // indexed by colFiles position; null for absent (null-padded) columns
       val blobs = part.colFiles.map { cf =>
-        val b = byCol(cf.column).get(cid)
-        require(b != null, s"chunk $cid: no row for column ${cf.column} in ${cf.file}")
-        b
+        if (cf.file.isEmpty) null
+        else {
+          val b = byCol(cf.column).get(cid)
+          require(b != null, s"chunk $cid: no row for column ${cf.column} in ${cf.file}")
+          b
+        }
       }
-      val first = blobs(0)
+      val first = blobs(colOf(present(0).column))
       blobs.foreach { b =>
-        require(java.util.Arrays.equals(b._1, first._1),
+        require(b == null || java.util.Arrays.equals(b._1, first._1),
           s"chunk $cid: key blobs differ across columns — mixed chunkings")
       }
       // structural equality pushdown: selectEquals answers byte-column
@@ -1041,23 +1255,25 @@ private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGr
       }
       if (skipChunk) Iterator.empty
       else {
-        // decode each fetched column once (eq-filtered columns excluded)
+        // decode each fetched column once (eq-filtered columns excluded;
+        // absent evolution-padded columns skipped — they emit NULL)
         val decodedBytes = new Array[Array[Array[Byte]]](blobs.length)
         val decodedLongs = new Array[LongCodec.LongColumn](blobs.length)
         var n = -1
         fields.foreach { f =>
           if (f.name != "key" && !eqTarget.containsKey(f.name)) {
-            val i = colOf(f.name)
-            if (f.dataType == LongType || f.dataType == DoubleType) {
-              val c = LongCodec.decode(blobs(i)._2)
-              decodedLongs(i) = c
-              require(n < 0 || n == c.n, s"chunk $cid: column ${f.name} row count mismatch")
-              n = c.n
-            } else {
-              val v = BytesCodec.decode(blobs(i)._2)
-              decodedBytes(i) = v
-              require(n < 0 || n == v.length, s"chunk $cid: column ${f.name} row count mismatch")
-              n = v.length
+            colOf.get(f.name).foreach { i =>
+              if (f.dataType == LongType || f.dataType == DoubleType) {
+                val c = LongCodec.decode(blobs(i)._2)
+                decodedLongs(i) = c
+                require(n < 0 || n == c.n, s"chunk $cid: column ${f.name} row count mismatch")
+                n = c.n
+              } else {
+                val v = BytesCodec.decode(blobs(i)._2)
+                decodedBytes(i) = v
+                require(n < 0 || n == v.length, s"chunk $cid: column ${f.name} row count mismatch")
+                n = v.length
+              }
             }
           }
         }
@@ -1109,21 +1325,22 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
               else if (d.eqTargets.containsKey(f.name)) {
                 val t = d.eqTargets.get(f.name).get(ri)
                 if (f.dataType == StringType) UTF8String.fromBytes(t) else t
-              } else {
-                val i = dec.colOf(f.name)
-                f.dataType match {
-                  case LongType =>
-                    val c = d.longCols(i)
-                    if (c.nulls(ri)) null else c.values(ri)
-                  case DoubleType =>
-                    val c = d.longCols(i)
-                    if (c.nulls(ri)) null else java.lang.Double.longBitsToDouble(c.values(ri))
-                  case StringType =>
-                    val b = d.bytesCols(i)(ri)
-                    if (b == null) null else UTF8String.fromBytes(b)
-                  case _ =>
-                    d.bytesCols(i)(ri)
-                }
+              } else dec.colOf.get(f.name) match {
+                case None => null // column absent here (added after this batch)
+                case Some(i) =>
+                  f.dataType match {
+                    case LongType =>
+                      val c = d.longCols(i)
+                      if (c.nulls(ri)) null else c.values(ri)
+                    case DoubleType =>
+                      val c = d.longCols(i)
+                      if (c.nulls(ri)) null else java.lang.Double.longBitsToDouble(c.values(ri))
+                    case StringType =>
+                      val b = d.bytesCols(i)(ri)
+                      if (b == null) null else UTF8String.fromBytes(b)
+                    case _ =>
+                      d.bytesCols(i)(ri)
+                  }
               }
             fi += 1
           }
@@ -1174,29 +1391,31 @@ final class ChunkGroupColumnarReader(schema: StructType, part: ChunkGroupPartiti
           val t = perIdx.get(d.rowAt(j))
           v.putByteArray(j, t, 0, t.length); j += 1
         }
-      } else {
-        val i = dec.colOf(f.name)
-        f.dataType match {
-          case LongType =>
-            val c = d.longCols(i)
-            while (j < m) {
-              val ri = d.rowAt(j)
-              if (c.nulls(ri)) v.putNull(j) else v.putLong(j, c.values(ri)); j += 1
-            }
-          case DoubleType =>
-            val c = d.longCols(i)
-            while (j < m) {
-              val ri = d.rowAt(j)
-              if (c.nulls(ri)) v.putNull(j)
-              else v.putDouble(j, java.lang.Double.longBitsToDouble(c.values(ri))); j += 1
-            }
-          case _ => // StringType and BinaryType both store byte arrays
-            val col = d.bytesCols(i)
-            while (j < m) {
-              val b = col(d.rowAt(j))
-              if (b == null) v.putNull(j) else v.putByteArray(j, b, 0, b.length); j += 1
-            }
-        }
+      } else dec.colOf.get(f.name) match {
+        case None => // column absent here (added after this batch): all-null
+          while (j < m) { v.putNull(j); j += 1 }
+        case Some(i) =>
+          f.dataType match {
+            case LongType =>
+              val c = d.longCols(i)
+              while (j < m) {
+                val ri = d.rowAt(j)
+                if (c.nulls(ri)) v.putNull(j) else v.putLong(j, c.values(ri)); j += 1
+              }
+            case DoubleType =>
+              val c = d.longCols(i)
+              while (j < m) {
+                val ri = d.rowAt(j)
+                if (c.nulls(ri)) v.putNull(j)
+                else v.putDouble(j, java.lang.Double.longBitsToDouble(c.values(ri))); j += 1
+              }
+            case _ => // StringType and BinaryType both store byte arrays
+              val col = d.bytesCols(i)
+              while (j < m) {
+                val b = col(d.rowAt(j))
+                if (b == null) v.putNull(j) else v.putByteArray(j, b, 0, b.length); j += 1
+              }
+          }
       }
       v
     }

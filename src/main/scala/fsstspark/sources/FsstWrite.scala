@@ -32,12 +32,43 @@ import fsstspark.pipeline.{ChunkResult, EncodePipeline}
   * manifest rows as commit messages, and
   * [[ParquetTableIO.commitExternalBatch]] appends the manifest and flips
   * the marker — a crash anywhere earlier leaves an invisible torn batch,
-  * and abort deletes the uncommitted files. Append-only: overwrite/
-  * truncate are rejected (compaction and deletes are catalog
-  * maintenance operations, not SQL writes).
+  * and abort deletes the uncommitted files. `INSERT OVERWRITE` /
+  * `TRUNCATE`+append compose the same pieces under ONE marker
+  * ([[FsstWriteBuilder.overwrite]]): chunk-aligned victims tombstone
+  * gated on the new batch, so adds and deletes become visible together.
   */
 final class FsstWriteBuilder(root: String, table: String, tableSchema: StructType,
-    info: LogicalWriteInfo) extends WriteBuilder {
+    info: LogicalWriteInfo) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+
+  // None = plain append; Some(victims) = overwrite: tombstone these
+  // (chunk_id, column) rows in the SAME snapshot the new data commits in
+  private var overwriteVictims: Option[org.apache.spark.sql.DataFrame] = None
+
+  /** `INSERT OVERWRITE` / `writeTo(...).overwrite(cond)` — accepted when
+    * the predicate is CHUNK-ALIGNED (the same coverage test as metadata
+    * DELETE: every chunk fully inside or fully outside), including the
+    * `TRUNCATE`/full-overwrite always-true case. The victims and the new
+    * data flip visibility through ONE commit marker
+    * ([[ParquetTableIO.commitExternalBatchWithDeletes]]), so a crash at
+    * any point leaves the pre-overwrite state — never a half-overwrite.
+    * The victim DataFrame is built BEFORE any data lands (its
+    * committed-batch snapshot is taken now), so it can never name the
+    * chunks this very write is adding.
+    */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    overwriteVictims = Some(FsstScan.chunkAlignedVictims(root, table, filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "INSERT OVERWRITE on an fsst table needs a chunk-aligned key predicate (or a full " +
+          s"overwrite); ${filters.mkString(" AND ")} crosses chunk boundaries — " +
+          "DELETE FROM (row-level) then INSERT, or compact first")))
+    this
+  }
+
+  // lenient on purpose: returning false here surfaces Spark's generic
+  // "does not support overwrite by expression"; overwrite() throws the
+  // actionable chunk-alignment error instead
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = true
 
   override def build(): Write = {
     val ws = info.schema()
@@ -48,7 +79,8 @@ final class FsstWriteBuilder(root: String, table: String, tableSchema: StructTyp
       s"write schema ${ws.simpleString} does not match fsst table schema " +
         tableSchema.simpleString)
     new Write {
-      override def toBatch: BatchWrite = new FsstBatchWrite(root, table, tableSchema)
+      override def toBatch: BatchWrite =
+        new FsstBatchWrite(root, table, tableSchema, overwriteVictims)
     }
   }
 }
@@ -57,7 +89,8 @@ private[sources] final case class FsstWriterCommit(
     rows: Array[(String, String, Long, String, Long, Long, Long, String, String,
       Option[Long], Option[Long])]) extends WriterCommitMessage
 
-final class FsstBatchWrite(root: String, table: String, tableSchema: StructType)
+final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
+    overwriteVictims: Option[org.apache.spark.sql.DataFrame] = None)
     extends BatchWrite {
   private val spark = SparkSession.active
   private val io = new ParquetTableIO(root)
@@ -70,13 +103,65 @@ final class FsstBatchWrite(root: String, table: String, tableSchema: StructType)
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 
+  /** Committing an unreadable state bricks the table, so the commit
+    * VALIDATES first: (1) duplicate (chunk_id, column) manifest rows —
+    * chunk ids are content-derived from keys, so duplicate-key-heavy
+    * input CAN mint the same id twice in one batch; every later scan
+    * would hard-fail on "duplicate chunk". (2) Orphan files inside the
+    * batch directory not named by any manifest row — a task whose
+    * EXECUTOR died never ran `DataWriter.abort`, and the
+    * whole-directory readers (`readChunks`, `repairManifest`) would see
+    * its chunks as duplicates. Duplicates fail the INSERT (batch
+    * aborted, table untouched); orphans are deleted before the marker
+    * flips.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     import spark.implicits._
     val rows = messages.flatMap(_.asInstanceOf[FsstWriterCommit].rows)
-    if (rows.isEmpty) { io.abortBatch(spark, table, batch); return } // empty insert = no-op
-    val manifest = rows.toSeq.toDF("file", "column", "chunk_id", "codec", "n_rows",
-      "bytes_in", "bytes_out", "min_key", "max_key", "value_min", "value_max")
-    io.commitExternalBatch(spark, table, batch, manifest)
+    val dup = rows.groupBy(r => (r._3, r._2)).collectFirst { case (k, g) if g.length > 1 => k }
+    dup.foreach { case (cid, colName) =>
+      io.abortBatch(spark, table, batch)
+      throw new IllegalStateException(
+        s"fsst INSERT into '$table': chunk id $cid for column '$colName' appears twice in " +
+          "one batch (content-derived ids collided on duplicate-key-heavy input) — " +
+          "committing would make every scan fail; the batch was aborted. De-duplicate or " +
+          "re-key the input and re-run.")
+    }
+    deleteOrphanFiles(rows.iterator.map(_._1).toSet)
+    val manifest =
+      if (rows.isEmpty) None
+      else Some(rows.toSeq.toDF("file", "column", "chunk_id", "codec", "n_rows",
+        "bytes_in", "bytes_out", "min_key", "max_key", "value_min", "value_max"))
+    overwriteVictims match {
+      case Some(victims) =>
+        // overwrite commits even with zero new rows (it still deletes);
+        // adds + deletes flip through ONE marker
+        io.commitExternalBatchWithDeletes(spark, table, batch, manifest, victims)
+      case None =>
+        manifest match {
+          case Some(m) => io.commitExternalBatch(spark, table, batch, m)
+          case None => io.abortBatch(spark, table, batch) // empty insert = no-op
+        }
+    }
+  }
+
+  /** Remove files under the batch directory that no manifest row names
+    * (dead-executor task attempts). Paths compare scheme-normalized.
+    */
+  private def deleteOrphanFiles(named: Set[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dirP = new org.apache.hadoop.fs.Path(io.batchDataDir(table, batch))
+    val fs = dirP.getFileSystem(conf)
+    if (!fs.exists(dirP)) return
+    val namedNorm = named.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    val it = fs.listFiles(dirP, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith(".") && !name.startsWith("_") &&
+          !namedNorm.contains(st.getPath.toUri.getPath))
+        fs.delete(st.getPath, false)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -462,13 +462,16 @@ class DataSourceSpec extends AnyFunSuite {
     assert(eVer.getMessage.contains("not a committed batch") ||
       eVer.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       eVer.getMessage.toLowerCase.contains("cannot be found"), s"got: ${eVer.getMessage}")
-    // unsupported DDL rejected loudly (CREATE is supported — see the DDL
-    // lifecycle test — but schema evolution is not)
+    // unsupported DDL rejected loudly: ADD COLUMN takes only the storable
+    // types, and renames rewrite data so they are refused outright
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE fsst_cat.pages ADD COLUMN extra INT")
     }
-    assert(e.getMessage.contains("ALTER TABLE") ||
-      e.getMessage.toLowerCase.contains("does not support"), s"got: ${e.getMessage}")
+    assert(e.getMessage.contains("STRING/BINARY/BIGINT/DOUBLE"), s"got: ${e.getMessage}")
+    val eRen = intercept[Exception] {
+      spark.sql("ALTER TABLE fsst_cat.pages RENAME COLUMN text TO body")
+    }
+    assert(eRen.getMessage.toLowerCase.contains("does not support"), s"got: ${eRen.getMessage}")
   }
 
   test("DSv2 write path: INSERT INTO and writeTo append land as committed catalog batches") {
@@ -587,19 +590,26 @@ class DataSourceSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $cat.pages WHERE key <= '$cut'")
     assert(spark.sql(s"SELECT count(*) FROM $cat.pages").collect()(0).getLong(0) == n - nDeleted)
     assert(spark.sql(s"SELECT min(key) FROM $cat.pages").collect()(0).getString(0) > cut)
-    // a NON-aligned predicate refuses (boundary strictly inside a LIVE chunk)
+    // a NON-aligned predicate executes as a COPY-ON-WRITE rewrite: the
+    // boundary chunk is decoded, matching rows dropped, the rest
+    // re-encoded and swapped in atomically
     val live = io.manifest(spark, "pages").filter(col("column") === "text")
       .select("min_key", "max_key").orderBy("min_key").collect()
     val liveChunk = live.find(r => r.getString(0) != r.getString(1))
       .getOrElse(fail("fixture yielded only single-key chunks; shrink chunkBytes"))
-    // min+" " is strictly between min and max whenever min < max and
+    // min+"\u0000" is strictly between min and max whenever min < max and
     // keys contain no NUL — fixture-spacing independent
-    val mid = liveChunk.getString(0) + " "
+    val mid = liveChunk.getString(0) + "\u0000"
     assert(mid > liveChunk.getString(0) && mid < liveChunk.getString(1))
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.pages WHERE key <= '$mid'")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), s"got: ${e.getMessage}")
+    val nLive = spark.sql(s"SELECT count(*) FROM $cat.pages").collect()(0).getLong(0)
+    val nKill = spark.sql(s"SELECT count(*) FROM $cat.pages WHERE key <= '$mid'")
+      .collect()(0).getLong(0)
+    assert(nKill > 0, "fixture: the boundary chunk should hold rows at its min key")
+    spark.sql(s"DELETE FROM $cat.pages WHERE key <= '$mid'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pages").collect()(0).getLong(0)
+      == nLive - nKill, "row-level DELETE removed the wrong rows")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pages WHERE key <= '$mid'")
+      .collect()(0).getLong(0) == 0)
     // metadata tables: commit log + live manifest view
     val snaps = spark.sql(s"SELECT * FROM $cat.`pages$$snapshots`").collect()
     assert(snaps.length == io.committedBatchIds(spark, "pages").length)
@@ -636,5 +646,153 @@ class DataSourceSpec extends AnyFunSuite {
     io.removeChunks(spark, "pages", victimRows.select("chunk_id", "column"))
     val after = spark.read.format("fsst").option("root", root).option("table", "pages").load().count()
     assert(after == before - victimN, s"expected ${before - victimN} rows after tombstone, got $after")
+  }
+
+  test("scan planning pushes key predicates into the manifest parquet scan") {
+    val root = freshRoot()
+    val df = pagesDf.orderBy("url").coalesce(1)
+    val io = writeTable(df, root, "sorted", chunkBytes = 4L << 10)
+    val m = io.manifest(spark, "sorted")
+    val someUrl = df.select("url").orderBy("url").collect()(5).getString(0)
+    val filters: Array[org.apache.spark.sql.sources.Filter] = Array(EqualTo("key", someUrl))
+    val pruned = FsstScan.pruneManifest(m, Seq("text"), filters, Set.empty, Set.empty)
+    // a selective predicate collects ONLY surviving manifest rows — the
+    // driver never sees the full manifest (the 100 TB planning contract)
+    val collected = pruned.collect()
+    val total = m.filter(col("column") === "text").count()
+    assert(collected.nonEmpty && collected.length < total,
+      s"pruneManifest collected ${collected.length} of $total text rows")
+    // the EXECUTED manifest scan carries the key-bound predicates as
+    // parquet PushedFilters (row-group pruning), not post-scan filters
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("min_key"),
+      s"manifest scan lacks pushed key filters:\n$planStr")
+    // the full connector plan agrees with the driver-residual recheck
+    val tbl = FsstDataSource.resolve(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root, "table", "sorted")))
+    val sb = new FsstScanBuilder(root, "sorted", tbl.schema(), 8)
+    sb.pruneColumns(StructType(Seq(StructField("key", StringType), StructField("text", BinaryType))))
+    sb.pushFilters(filters)
+    val chunks = sb.build().asInstanceOf[FsstScan].planInputPartitions()
+      .map(_.asInstanceOf[ChunkGroupPartition].chunkIds.length).sum
+    assert(chunks == collected.length,
+      s"planner kept $chunks chunks but the pruned manifest has ${collected.length} rows")
+  }
+
+  test("ALTER TABLE ADD COLUMN: old batches null-pad, new inserts carry it") {
+    val root = freshRoot()
+    val df = pagesDf
+    writeTable(df, root, "pages")
+    val cat = s"fsst_evo_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.stringColumns.pages", "text")
+    val n = df.count()
+    spark.sql(s"ALTER TABLE $cat.pages ADD COLUMN rank BIGINT")
+    // old rows read the new column as NULL (and the plain read still works)
+    val t1 = spark.table(s"$cat.pages")
+    assert(t1.schema.fieldNames.toSeq ==
+      Seq("key", "html", "score", "text", "ts", "rank"))
+    assert(t1.count() == n)
+    assert(t1.filter(col("rank").isNotNull).count() == 0)
+    // projecting ONLY the evolved column still surfaces every row
+    assert(t1.select("key", "rank").count() == n)
+    // an INSERT after the ALTER lands the column physically
+    val extra = df.limit(7).select(
+      concat(col("url"), lit("#v2")).as("key"), col("text"), col("html"),
+      col("ts"), col("score"), (col("ts") * 2L).as("rank"))
+    extra.writeTo(s"$cat.pages").append()
+    val t2 = spark.table(s"$cat.pages")
+    assert(t2.count() == n + 7)
+    assert(t2.filter(col("rank").isNotNull).count() == 7)
+    // filters and aggregates stay exact across the generation boundary
+    val wantSum = extra.agg(sum("rank")).collect()(0).getLong(0)
+    assert(t2.agg(sum("rank")).collect()(0).getLong(0) == wantSum)
+    val someRank = extra.select("rank").orderBy("rank").collect()(3).getLong(0)
+    assert(t2.filter(col("rank") === someRank).count() ==
+      extra.filter(col("rank") === someRank).count())
+    // MIN/MAX aggregate pushdown over the evolved column is exact (old
+    // chunks carry no rows for it — SQL MIN/MAX ignore their nulls)
+    val gotMin = spark.sql(s"SELECT min(rank) AS m FROM $cat.pages").collect()(0).getLong(0)
+    assert(gotMin == extra.agg(min("rank")).collect()(0).getLong(0))
+    // invalid evolutions refuse loudly
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.pages ADD COLUMN bad INT")
+    }.getMessage.contains("STRING/BINARY/BIGINT/DOUBLE"))
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.pages ADD COLUMN rank BIGINT")
+    }.getMessage.contains("already exists"))
+  }
+
+  test("row-level DELETE: copy-on-write, time travel, vacuum reclaims files") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf.orderBy("ts").coalesce(1)
+    // two batches split by ts so batch A's files die WHOLE after the
+    // rewrite (vacuum can then physically reclaim them)
+    val bounds = df.agg(min("ts"), max("ts")).collect()(0)
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val dfA = df.filter(col("ts") <= cut)
+    val dfB = df.filter(col("ts") > cut)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(dfA, col("url"), pageSpecs, 8L << 10), "pages")
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(dfB, col("url"), pageSpecs, 8L << 10), "pages")
+    val cat = s"fsst_rowdel_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val preBatch = io.committedBatchIds(spark, "pages").sorted.last
+    val n = df.count()
+    val maxA = dfA.agg(max("ts")).collect()(0).getLong(0)
+    val nKill = df.filter(col("ts") < maxA).count()
+    assert(nKill > 0 && nKill < n)
+    // a VALUE predicate is never chunk-aligned → copy-on-write path
+    spark.sql(s"DELETE FROM $cat.pages WHERE ts < $maxA")
+    val t = spark.table(s"$cat.pages")
+    assert(t.count() == n - nKill, "row-level DELETE removed the wrong number of rows")
+    assert(t.filter(col("ts") < maxA).count() == 0)
+    // kept rows round-trip bit-exactly (sum over a decoded long column)
+    val wantSum = df.filter(col("ts") >= maxA).agg(sum("ts")).collect()(0).getLong(0)
+    assert(t.agg(sum("ts")).collect()(0).getLong(0) == wantSum)
+    // time travel to the pre-delete snapshot still sees every row
+    assert(spark.sql(s"SELECT count(*) FROM $cat.pages VERSION AS OF '$preBatch'")
+      .collect()(0).getLong(0) == n)
+    // batch A's files are now fully tombstoned → physically reclaimable
+    val freed = io.vacuum(spark, "pages")
+    assert(freed > 0, "vacuum reclaimed no files after the copy-on-write rewrite")
+    assert(spark.table(s"$cat.pages").count() == n - nKill)
+    // a delete matching nothing is a clean no-op (no new snapshot)
+    val batchesBefore = io.committedBatchIds(spark, "pages").length
+    spark.sql(s"DELETE FROM $cat.pages WHERE ts < ${bounds.getLong(0)}")
+    assert(io.committedBatchIds(spark, "pages").length == batchesBefore)
+    assert(spark.table(s"$cat.pages").count() == n - nKill)
+  }
+
+  test("INSERT OVERWRITE commits deletes and adds as ONE snapshot") {
+    val root = freshRoot()
+    val cat = s"fsst_ovw_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (key STRING, v BIGINT) USING fsst")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('a', 1), ('b', 2), ('c', 3)")
+    val io = new ParquetTableIO(root)
+    val pre = io.committedBatchIds(spark, "t").sorted.last
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES ('x', 10), ('y', 20)")
+    val got = spark.sql(s"SELECT key, v FROM $cat.t ORDER BY key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("x", 10L), ("y", 20L)), s"overwrite left $got")
+    // the pre-overwrite snapshot still reads the old rows (time travel)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF '$pre'")
+      .collect()(0).getLong(0) == 3)
+    // exactly ONE new snapshot carried both the deletes and the adds
+    assert(io.committedBatchIds(spark, "t").count(_ > pre) == 1)
+    // overwriting with an empty SELECT still deletes (and commits)
+    spark.sql(s"INSERT OVERWRITE $cat.t SELECT key, v FROM $cat.t WHERE v > 1000")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0).getLong(0) == 0)
+    // a non-chunk-aligned overwrite predicate refuses loudly
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k1', 1), ('k2', 2)")
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(("k1", 9L)).toDF("key", "v").writeTo(s"$cat.t").overwrite(col("v") === 1L)
+    }
+    assert(e.getMessage.contains("chunk-aligned"), s"got: ${e.getMessage}")
   }
 }
