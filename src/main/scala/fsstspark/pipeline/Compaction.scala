@@ -49,6 +49,15 @@ object Compaction {
     * of the [[fsstspark.util.SortableBits]] order the write path stored,
     * and `chunksForValueRange` would silently prune chunks that contain
     * in-range rows.
+    *
+    * LEGACY caveat: double columns written BEFORE the `_f64` codec-name
+    * suffix existed carry plain long codec names and are indistinguishable
+    * from genuine long columns here — the name-based dispatch would take
+    * the long route and store zone maps over raw IEEE bits (negative
+    * doubles order reversed). For such known-legacy columns pass
+    * `assumeDouble = true` to force the double route; the rewrite then
+    * also MIGRATES the column onto `_f64` names, so the flag is needed
+    * only once per column.
     */
   def compactColumn(
       spark: SparkSession,
@@ -56,7 +65,8 @@ object Compaction {
       table: String,
       column: String,
       minChunkBytes: Long,
-      targetChunkBytes: Long = 16L << 20
+      targetChunkBytes: Long = 16L << 20,
+      assumeDouble: Boolean = false
   ): Result = {
     import spark.implicits._
     val small = io.readChunks(spark, table)
@@ -75,7 +85,10 @@ object Compaction {
     // the data rewrite is bit-exact regardless — only the stats differ.
     val longCodecNames = fsstspark.codec.LongCodec.names.values.toSet
     val headCodec = victims.head._3
-    val isDouble = headCodec.endsWith(EncodePipeline.DoubleCodecSuffix)
+    require(!assumeDouble ||
+      headCodec.endsWith(EncodePipeline.DoubleCodecSuffix) || longCodecNames.contains(headCodec),
+      s"assumeDouble: column '$column' stores byte chunks (codec '$headCodec'), not doubles")
+    val isDouble = assumeDouble || headCodec.endsWith(EncodePipeline.DoubleCodecSuffix)
     val isLongColumn = isDouble || longCodecNames.contains(headCodec)
     // re-cluster by key so rewritten chunks are key ranges (tight manifest
     // min/max); partition count sized so each partition emits a handful of

@@ -98,6 +98,14 @@ object PlanDump {
       |(the oracle reproduces the planned chunk/row counts from the bucket
       |arithmetic). Spark re-applies the filter as a residual — pruning is
       |chunk-granular, correctness row-granular.""".stripMargin,
+    "q_key_range_pushdown" -> """Key-RANGE (>,<) pushdown through the
+      |connector: the range predicates prune chunks inside the planner
+      |against manifest [min_key,max_key] — and the pruning predicates are
+      |THEMSELVES pushed into the manifest parquet scan as Catalyst
+      |filters (the driver collects only surviving manifest rows), so
+      |planning stays O(survivors) at any table size. The executed
+      |BatchScan's partitions hold only the intersecting chunk groups;
+      |counts are oracled from the 125-doc bucket arithmetic.""".stripMargin,
     "q_dict_pushdown" -> """Structural predicate pushdown: encode →
       |MapPartitions probe (dictionary membership decides per chunk; packed
       |indices only touched on dict hits) → ONE partial/final aggregate

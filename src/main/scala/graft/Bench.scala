@@ -120,9 +120,20 @@ object Bench {
 
     def repArr(ts: Seq[Double]): String = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // fixture-construction seconds for the catalog/DSv2 queries whose
+    // timed body BUILDS its table before reading it (recorded inside
+    // Queries): read-path seconds = queries[k] - fixture_sec[k], so a
+    // read regression is visible instead of hidden under fixture noise
+    val fixtures = {
+      import scala.jdk.CollectionConverters._
+      fsstspark.queries.Queries.fixtureSeconds.asScala.toSeq.sortBy(_._1)
+        .filter { case (k, _) => results.contains(k) }
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    }
     val total = f"${results.values.filter(_ > 0).sum}%.3f"
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""fixture_sec":$fixtures,""" +
         s""""cpus":$cpus,"pages":$nPages,"pages_bytes_in":$bytesIn,"pages_bytes_out":$bytesOut,""" +
         f""""pages_ratio":$ratio%.4f,"encode_gbps":$encGbps%.3f,"encode_shuffle_gbps":$encShuffleGbps%.3f,"decode_gbps":$decGbps%.3f,""" +
         s""""headline_reps":{"local_sec":${repArr(localReps)},"shuffle_sec":${repArr(shuffleReps)},"decode_sec":${repArr(decodeReps)}}}""")

@@ -74,6 +74,11 @@ object SparkEntry {
     "dsv2_sql_insert" -> (Queries.dsv2SqlInsert _),
     "dsv2_sql_ddl" -> (Queries.dsv2SqlDdl _),
     "dsv2_sql_delete" -> (Queries.dsv2SqlDelete _),
+    "dsv2_sql_delete_rows" -> (Queries.dsv2SqlDeleteRows _),
+    "dsv2_sql_alter" -> (Queries.dsv2SqlAlter _),
+    "dsv2_overwrite" -> (Queries.dsv2Overwrite _),
+    "dsv2_meta_tables" -> (Queries.dsv2MetaTables _),
+    "q_key_range_pushdown" -> (Queries.qKeyRangePushdown _),
     "q_dict_pushdown" -> (Queries.qDictPushdown _),
     "q_fsst_pushdown" -> (Queries.qFsstPushdown _),
     // multimodal plumbing + streaming ingest front end
@@ -187,6 +192,66 @@ object SparkEntry {
          min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
          CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
          FROM documents WHERE doc_id > 124""",
+    // row-level DELETE: copy-on-write of n in [400, 700); time travel
+    // to the pre-delete snapshot sees every original row
+    "dsv2_sql_delete_rows" ->
+      """SELECT
+         CAST((SELECT count(*) FROM documents
+               WHERE NOT (n_chars >= 400 AND n_chars < 700)) AS BIGINT) AS n_live,
+         CAST((SELECT sum(n_chars) FROM documents
+               WHERE NOT (n_chars >= 400 AND n_chars < 700)) AS BIGINT) AS sum_n,
+         CAST((SELECT sum(strlen(text)) FROM documents
+               WHERE NOT (n_chars >= 400 AND n_chars < 700)) AS BIGINT) AS text_bytes,
+         CAST(0 AS BIGINT) AS n_leftover,
+         CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_before""",
+    // ADD COLUMN: even doc_ids predate the column (NULL), odd carry it
+    "dsv2_sql_alter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_n,
+         CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars END) AS BIGINT) AS sum_n,
+         CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+         min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key
+         FROM documents""",
+    // INSERT OVERWRITE with n > 500, n doubled; pre-overwrite snapshot intact
+    "dsv2_overwrite" ->
+      """SELECT
+         CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN n_chars > 500 THEN n_chars * 2 END) AS BIGINT) AS sum_n,
+         min(CASE WHEN n_chars > 500
+             THEN lpad(CAST(doc_id AS VARCHAR), 8, '0') END) AS min_key,
+         CAST(count(*) AS BIGINT) AS n_before
+         FROM documents""",
+    // distributed metadata tables over 250-doc chunks (one append batch)
+    "dsv2_meta_tables" ->
+      """WITH d AS (SELECT doc_id // 250 AS bk,
+                    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k FROM documents),
+         c AS (SELECT bk, count(*) AS cnt, min(k) AS mn, max(k) AS mx
+               FROM d GROUP BY bk)
+         SELECT CAST(count(*) AS BIGINT) AS n_chunk_rows,
+                CAST(sum(cnt) AS BIGINT) AS sum_rows,
+                min(mn) AS first_key, max(mx) AS last_key,
+                CAST(1 AS BIGINT) AS n_snapshots
+         FROM c""",
+    // key-range pushdown over 125-doc chunks: bucket intersection with
+    // the open interval (lo, hi) reproduces chunks_read/rows_decoded
+    "q_key_range_pushdown" ->
+      """WITH d AS (SELECT doc_id // 125 AS bk,
+                    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k,
+                    strlen(text) AS tb FROM documents),
+         n AS (SELECT count(*) AS total FROM documents),
+         b AS (SELECT lpad(CAST(total * 30 // 100 AS VARCHAR), 8, '0') AS lo,
+                      lpad(CAST(total * 40 // 100 AS VARCHAR), 8, '0') AS hi FROM n),
+         c AS (SELECT bk, count(*) AS cnt, min(k) AS mn, max(k) AS mx,
+                      sum(tb) AS tbs FROM d GROUP BY bk),
+         h AS (SELECT c.* FROM c, b WHERE c.mx > b.lo AND c.mn < b.hi),
+         m AS (SELECT d.k, d.tb FROM d, b WHERE d.k > b.lo AND d.k < b.hi)
+         SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS chunks_total,
+                CAST((SELECT count(*) FROM h) AS BIGINT) AS chunks_read,
+                CAST((SELECT sum(cnt) FROM h) AS BIGINT) AS rows_decoded,
+                CAST((SELECT count(*) FROM m) AS BIGINT) AS n_match,
+                (SELECT min(k) FROM m) AS min_key_match,
+                (SELECT max(k) FROM m) AS max_key_match,
+                CAST((SELECT sum(tb) FROM m) AS BIGINT) AS text_bytes""",
     // SQL DDL lifecycle: CREATE + INSERT + CTAS(n > 500)
     "dsv2_sql_ddl" ->
       """SELECT 'big' AS t, CAST(count(*) AS BIGINT) AS n_rows,
