@@ -594,12 +594,22 @@ final class ParquetTableIO(root: String) extends TableIO {
     * silently diverge.
     */
   def manifestOpt(spark: SparkSession, table: String, asOf: Option[String]): DataFrame = {
-    assertNotLegacy(spark, table)
     val all = committedBatches(spark, table)
     val committed = asOf match {
       case Some(b) => all.filter(_ <= b)
       case None => all
     }
+    manifestSnapshot(spark, table, committed)
+  }
+
+  /** The manifest view under an EXPLICIT committed-batches snapshot —
+    * for callers (row-level DELETE) that must thread ONE snapshot through
+    * a manifest collect and the subsequent data read so a commit landing
+    * between the two cannot make them disagree.
+    */
+  def manifestSnapshot(spark: SparkSession, table: String,
+      committed: Array[String]): DataFrame = {
+    assertNotLegacy(spark, table)
     val m = readManifestRaw(spark, table)
     notTombstoned(committedOnly(m, spark, committed), spark, table, committed).drop("batch")
   }
@@ -650,19 +660,36 @@ final class ParquetTableIO(root: String) extends TableIO {
     */
   private def readHitFiles(spark: SparkSession, table: String,
       committed: Array[String],
-      hits: Array[org.apache.spark.sql.Row]): Dataset[ChunkResult] = {
+      hits: Array[org.apache.spark.sql.Row]): Dataset[ChunkResult] =
+    readChunksInFiles(spark, table, committed,
+      hits.map(_.getString(0)).distinct.toIndexedSeq,
+      hits.map(_.getLong(1)).distinct.toIndexedSeq)
+
+  /** Manifest-pruned bulk read for rewrite paths (row-level DELETE): open
+    * ONLY the manifest-named hit files instead of listing and scanning the
+    * whole data directory — at 100 TB a rewrite touching a handful of
+    * chunks must not plan a full-table scan just to semi-join most of it
+    * away. Same tombstone re-filter discipline as the point readers.
+    */
+  def readChunksInFiles(spark: SparkSession, table: String,
+      committed: Array[String], files: Seq[String],
+      ids: Seq[Long]): Dataset[ChunkResult] = {
     import spark.implicits._
-    if (hits.isEmpty) return spark.emptyDataset[ChunkResult]
-    val files = hits.map(_.getString(0)).distinct
-    val ids = hits.map(_.getLong(1)).distinct
+    if (files.isEmpty || ids.isEmpty) return spark.emptyDataset[ChunkResult]
     notTombstoned(
       spark.read.schema(chunkReadSchema)
-        .option("basePath", dataDir(table)).parquet(files.toIndexedSeq: _*)
-        .filter(col("chunk_id").isin(ids.toIndexedSeq: _*)),
+        .option("basePath", dataDir(table)).parquet(files: _*)
+        .filter(col("chunk_id").isin(ids: _*)),
       spark, table, committed)
       .drop("batch")
       .as[ChunkResult]
   }
+
+  /** One committed-batches snapshot, for callers threading the same view
+    * through a manifest collect and a subsequent [[readChunksInFiles]].
+    */
+  def committedSnapshot(spark: SparkSession, table: String): Array[String] =
+    committedBatches(spark, table)
 
   override def chunksForValueRange(spark: SparkSession, table: String,
       column: String, lo: Long, hi: Long): Dataset[ChunkResult] = {

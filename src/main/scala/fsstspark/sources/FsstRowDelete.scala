@@ -99,13 +99,27 @@ private[sources] object FsstRowDelete {
     // pruned inside the manifest parquet scan. Snapshotted to the driver
     // BEFORE any write — catalog reads re-resolve file listings lazily,
     // and a plan held across the append below would see (and tombstone)
-    // the chunks this very rewrite writes.
-    val candRows = FsstScan.pruneManifest(io.manifest(spark, table),
+    // the chunks this very rewrite writes. ONE committed snapshot spans
+    // the manifest collect and the data read below.
+    val committed = io.committedSnapshot(spark, table)
+    val candRows = FsstScan.pruneManifest(io.manifestSnapshot(spark, table, committed),
         valueCols, filters, statCols, doubleCols)
-      .select("chunk_id", "column", "bytes_in")
+      .select("chunk_id", "column", "bytes_in", "file")
       .collect()
     if (candRows.isEmpty) return // no chunk can match: delete is a no-op
     val victimIds = candRows.map(_.getLong(0)).distinct
+
+    // duplicate live instances: content-derived ids repeat when identical
+    // content is INSERTed twice, and tombstones address (chunk_id, column)
+    // within the gated snapshot — the rewrite would collapse both
+    // instances into one copy of the kept rows, silently deduplicating
+    // rows the user never asked to delete. Refuse loudly.
+    candRows.groupBy(r => (r.getLong(0), r.getString(1))).foreach { case ((id, c), rs) =>
+      require(rs.length == 1,
+        s"row-level DELETE: chunk $id column $c has ${rs.length} live instances " +
+          "(identical content inserted more than once) — the copy-on-write rewrite would " +
+          "collapse the duplicates; compact the table first")
+    }
 
     // schema-generation uniformity: a victim chunk missing one of the
     // current value columns (written before an ADD COLUMN) cannot
@@ -121,10 +135,10 @@ private[sources] object FsstRowDelete {
     // decode ALL columns of the victim chunks (a chunk is one row-group
     // across its columns — rewriting one column alone would desync the
     // others), evaluate the predicate with Catalyst, keep the rest.
-    // DELETE semantics: a row whose condition is NULL is KEPT.
-    val victims = broadcast(victimIds.toSeq.toDF("chunk_id"))
-    val chunks = io.readChunks(spark, table)
-      .join(victims, Seq("chunk_id"), "left_semi").as[ChunkResult]
+    // DELETE semantics: a row whose condition is NULL is KEPT. The read
+    // opens ONLY the manifest-named hit files — never the full data dir.
+    val chunks = io.readChunksInFiles(spark, table, committed,
+      candRows.map(_.getString(3)).distinct.toIndexedSeq, victimIds.toIndexedSeq)
     val specs = valueFields.map(f => EncodePipeline.ReadSpec(f.name,
       isLong = f.dataType == LongType, isDouble = f.dataType == DoubleType)).toSeq
     val decoded = EncodePipeline.decodeColumns(chunks, specs)

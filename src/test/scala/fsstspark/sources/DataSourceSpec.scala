@@ -766,6 +766,32 @@ class DataSourceSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.pages").count() == n - nKill)
   }
 
+  test("row-level DELETE refuses duplicate live chunk instances loudly") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf.orderBy("url").coalesce(1)
+    // identical content twice: content-derived chunk ids collide, so the
+    // table legitimately holds duplicate rows under duplicate (chunk_id,
+    // column) instances — a copy-on-write rewrite would collapse them
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
+    val cat = s"fsst_dupdel_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val n = df.count()
+    assert(spark.table(s"$cat.pages").count() == 2 * n)
+    val maxTs = df.agg(max("ts")).collect()(0).getLong(0)
+    val ex = intercept[Throwable] {
+      spark.sql(s"DELETE FROM $cat.pages WHERE ts < $maxTs")
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("live instances"),
+      s"expected the duplicate-instance refusal, got:\n$msgs")
+    // the refusal left the table untouched — no partial rewrite
+    assert(spark.table(s"$cat.pages").count() == 2 * n)
+  }
+
   test("INSERT OVERWRITE commits deletes and adds as ONE snapshot") {
     val root = freshRoot()
     val cat = s"fsst_ovw_${math.abs(root.hashCode)}"
