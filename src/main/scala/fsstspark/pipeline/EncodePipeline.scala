@@ -342,14 +342,29 @@ object EncodePipeline {
     * min/max range is computed, not assumed sorted). For column `ci`:
     * byte columns read `byteVals(ci)`, long/double columns read
     * `longVals(ci)`/`longNulls(ci)` (doubles as raw IEEE-754 bits).
+    *
+    * `idSalt` (nonzero) folds a writer-position discriminator into the
+    * chunk id. The catalog requires (chunk_id, column) uniqueness WITHIN
+    * a batch, and a table may legitimately hold the same rows twice
+    * (duplicate inserts; a row-level rewrite of duplicate instances), so
+    * a purely content-derived id would collide inside one batch and
+    * abort the commit. The DSv2 writer doesn't need content-stable ids —
+    * its retry idempotence comes from the manifest-named-files orphan
+    * sweep at commit, not from id equality — so it salts with
+    * (partitionId, chunk sequence). The pipeline paths (checkpoint
+    * resume relies on content ids) pass 0 and keep the pure derivation.
     */
   private[fsstspark] def encodeChunkFromArrays(
       keys: Array[String],
       names: Array[String], isLong: Array[Boolean], isDouble: Array[Boolean],
       byteVals: Array[Array[Array[Byte]]],
-      longVals: Array[Array[Long]], longNulls: Array[Array[Boolean]]): Iterator[ChunkResult] = {
+      longVals: Array[Array[Long]], longNulls: Array[Array[Boolean]],
+      idSalt: Long = 0L): Iterator[ChunkResult] = {
     require(keys.nonEmpty, "empty chunk")
-    val cid = localChunkId(keys)
+    val cid = {
+      val h = localChunkId(keys)
+      if (idSalt == 0L) h else (h ^ idSalt) * 1099511628211L
+    }
     val keyBlob = BytesCodec.encodeAuto(keys.map(_.getBytes("UTF-8"))).blob
     var mn = keys(0)
     var mx = keys(0)

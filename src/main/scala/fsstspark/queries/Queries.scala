@@ -1217,6 +1217,76 @@ object Queries {
       (SELECT count(*) FROM $cat.docs VERSION AS OF '$pre') AS n_before""")
   }
 
+  /** SQL `UPDATE` through the GROUP-BASED copy-on-write operation
+    * ([[fsstspark.sources.FsstRowLevelOperation]]): the affected chunks
+    * are pruned via the manifest, decoded whole, Catalyst applies the
+    * SET expressions to matching rows (non-matching rows of the same
+    * chunk pass through bit-identical), and the rewrite commits adds +
+    * victim tombstones under ONE marker. The audit reads the updated
+    * table and time-travels to the pre-update snapshot; every number
+    * reproduces in DuckDB as a CASE projection over `documents`.
+    */
+  def dsv2SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-upd-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val docs = documents(s, dir).select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+      encode(col("text"), "UTF-8").as("text"),
+      col("n_chars").as("n"))
+    timedFixture("dsv2_sql_update") {
+      io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("k"), Seq(
+        EncodePipeline.ColSpec("text", col("text")),
+        EncodePipeline.ColSpec("n", col("n"), isLong = true)), 64L << 10), "docs")
+    }
+    val cat = s"fsst_updq_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val pre = io.committedBatchIds(s, "docs").sorted.last
+    s.sql(s"""UPDATE $cat.docs
+              SET n = n * 10, text = concat(text, encode('!', 'UTF-8'))
+              WHERE n >= 400 AND n < 700""")
+    s.sql(s"""SELECT
+      (SELECT count(*) FROM $cat.docs) AS n_live,
+      (SELECT sum(n) FROM $cat.docs) AS sum_n,
+      (SELECT sum(octet_length(text)) FROM $cat.docs) AS text_bytes,
+      (SELECT count(*) FROM $cat.docs WHERE n >= 4000 AND n < 7000 AND n % 10 = 0) AS n_updated,
+      (SELECT sum(n) FROM $cat.docs VERSION AS OF '$pre') AS sum_n_before""")
+  }
+
+  /** `MERGE INTO` through the same group-based rewrite — all three
+    * actions in one statement over one snapshot: matched rows with
+    * n >= 900 DELETE, other matched rows UPDATE (n + 1000), unmatched
+    * source rows INSERT under fresh `N…` keys. DuckDB reproduces the
+    * final state as a UNION of the three row populations.
+    */
+  def dsv2SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-mrg-q").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val docs = documents(s, dir).select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+      col("n_chars").as("n"))
+    timedFixture("dsv2_sql_merge") {
+      io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("k"), Seq(
+        EncodePipeline.ColSpec("n", col("n"), isLong = true)), 16L << 10), "docs")
+    }
+    val cat = s"fsst_mrgq_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // source: every doc with n > 600 (matches its target row) plus an
+    // unmatched N-prefixed row for every doc with n <= 300
+    docs.filter(col("n") > 600).select(col("k"), col("n"))
+      .union(docs.filter(col("n") <= 300).select(concat(lit("N"), col("k")).as("k"), col("n")))
+      .createOrReplaceTempView("fsst_merge_src")
+    s.sql(s"""MERGE INTO $cat.docs t USING fsst_merge_src s ON t.key = s.k
+              WHEN MATCHED AND s.n >= 900 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET n = t.n + 1000
+              WHEN NOT MATCHED THEN INSERT (key, n) VALUES (s.k, s.n)""")
+    s.sql(s"""SELECT count(*) AS n_rows, sum(n) AS sum_n, min(key) AS min_key,
+              max(key) AS max_key,
+              sum(CASE WHEN key LIKE 'N%' THEN 1 ELSE 0 END) AS n_inserted
+              FROM $cat.docs""")
+  }
+
   /** `ALTER TABLE ADD COLUMN` end-to-end: batch 1 predates the column
     * (its rows read NULL), batch 2 carries it physically; counts, the
     * null split, and the sums reproduce in DuckDB from the even/odd

@@ -216,7 +216,8 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String =
     s"fsst.`$root`.`$tableName`" + asOf.map(b => s" AS OF $b").getOrElse("")
   override def schema(): StructType = tableSchema
@@ -232,6 +233,20 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
       org.apache.spark.sql.connector.write.WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a snapshot-pinned fsst table")
     new FsstWriteBuilder(root, tableName, tableSchema, info)
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` / subquery-conditioned `DELETE` — the
+    * group-based copy-on-write rewrite ([[FsstRowLevelOperation]]).
+    * Translatable DELETE predicates never execute here:
+    * `OptimizeMetadataOnlyDeleteFromTable` converts them back to
+    * [[deleteWhere]] because [[canDeleteWhere]] accepts them.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty, "cannot modify a snapshot-pinned fsst table")
+    () => new FsstRowLevelOperation(root, tableName, tableSchema, chunksPerPartition,
+      info.command(), columnSince)
   }
 
   /** `DELETE FROM`, two tiers (both snapshot-atomic and time-travelable):
@@ -302,7 +317,8 @@ private[sources] final case class MinMaxSpec(column: String, isMin: Boolean,
 
 final class FsstScanBuilder(root: String, table: String, tableSchema: StructType,
     chunksPerPartition: Int, columnarMode: String = "off",
-    asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty)
+    asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty,
+    rowLevel: Option[FsstRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -342,7 +358,8 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
       Option[Array[AggSpec]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (sawFilters || aggregation.groupByExpressions.nonEmpty) return None
+    // a row-level operation scan must surface full rows of matched groups
+    if (rowLevel.isDefined || sawFilters || aggregation.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -405,7 +422,7 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
 
   override def build(): Scan =
     new FsstScan(root, table, tableSchema, required, pushed, chunksPerPartition, agg,
-      columnarMode, asOf, columnSince)
+      columnarMode, asOf, columnSince, rowLevel)
 }
 
 /** One fetched column of a partition: every chunk in the group has its
@@ -434,7 +451,8 @@ final case class AggRowPartition(values: Array[Any]) extends InputPartition
 final class FsstScan(root: String, table: String, tableSchema: StructType,
     required: StructType, filters: Array[Filter], chunksPerPartition: Int,
     agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "off",
-    asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty)
+    asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty,
+    rowLevel: Option[FsstRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Every manifest read in this scan honors the snapshot pin. */
@@ -514,6 +532,16 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
     val valueFields = required.fieldNames.filter(_ != "key").toSeq
+    // a row-level rewrite replaces whole chunks, so the scan MUST carry
+    // every stored column — Spark plans ReplaceData over full rows; a
+    // pruned projection here would mean silently dropping the unfetched
+    // columns of every rewritten chunk
+    rowLevel.foreach { _ =>
+      val allVals = tableSchema.fieldNames.filter(_ != "key").toSet
+      require(valueFields.toSet == allVals,
+        s"row-level operation scan fetches [${valueFields.mkString(",")}] but the table " +
+          s"stores [${allVals.toSeq.sorted.mkString(",")}]")
+    }
     // stats columns: every filtered long/double column, even if not projected
     val statCols = filters.flatMap(FsstScan.references).filter(c =>
       tableSchema.fields.exists(f => f.name == c &&
@@ -557,8 +585,18 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
         .select("file", "column", "chunk_id", "n_rows", "bytes_out",
           "min_key", "max_key", "value_min", "value_max")
         .collect()
-      FsstScan.planFromManifest(mAll, required, tableSchema, filters, chunksPerPartition, table,
-        Some((fetch, readValues)), columnSince)
+      val res = FsstScan.planFromManifest(mAll, required, tableSchema, filters,
+        chunksPerPartition, table, Some((fetch, readValues)), columnSince)
+      // record the planned victims for the row-level write's commit:
+      // every (chunk_id, column) manifest row of every planned instance.
+      // Distinct collapses duplicate-id instances across batches — ONE
+      // batch-gated tombstone kills them all, and all were read.
+      rowLevel.foreach { op =>
+        op.plannedVictims = Some(res._1.iterator.flatMap(p =>
+          p.colFiles.iterator.filter(_.file.nonEmpty).flatMap(cf =>
+            p.chunkIds.iterator.map(id => (id, cf.column)))).toArray.distinct)
+      }
+      res
     }
   }
 
@@ -570,8 +608,12 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new FsstReaderFactory(readSchema(), conf, FsstScan.byteEqFilters(filters, tableSchema),
-      columnarMode)
+    // row-level mode: the reader must emit EVERY row of the planned
+    // chunks — selectEquals drops non-matching rows, which a group
+    // rewrite would then delete. Filters prune groups only.
+    val eq = if (rowLevel.isDefined) Array.empty[ColEquals]
+      else FsstScan.byteEqFilters(filters, tableSchema)
+    new FsstReaderFactory(readSchema(), conf, eq, columnarMode)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {

@@ -80,7 +80,7 @@ final class FsstWriteBuilder(root: String, table: String, tableSchema: StructTyp
         tableSchema.simpleString)
     new Write {
       override def toBatch: BatchWrite =
-        new FsstBatchWrite(root, table, tableSchema, overwriteVictims)
+        new FsstBatchWrite(root, table, tableSchema, () => overwriteVictims)
     }
   }
 }
@@ -89,8 +89,14 @@ private[sources] final case class FsstWriterCommit(
     rows: Array[(String, String, Long, String, Long, Long, Long, String, String,
       Option[Long], Option[Long])]) extends WriterCommitMessage
 
+/** `victimsAtCommit` resolves at COMMIT time: the overwrite path closes
+  * over plan-time victims, while the row-level path
+  * ([[FsstRowLevelOperation]]) resolves the victims its scan planned —
+  * which may happen after this write is constructed.
+  */
 final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
-    overwriteVictims: Option[org.apache.spark.sql.DataFrame] = None)
+    victimsAtCommit: () => Option[org.apache.spark.sql.DataFrame] = () => None,
+    leadingOpColumn: Boolean = false)
     extends BatchWrite {
   private val spark = SparkSession.active
   private val io = new ParquetTableIO(root)
@@ -100,15 +106,16 @@ final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
     val colDirs = tableSchema.fields.filter(_.name != "key")
       .map(f => f.name -> io.batchColumnDir(table, batch, f.name)).toMap
     new FsstWriterFactory(tableSchema, colDirs,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()), leadingOpColumn)
   }
 
   /** Committing an unreadable state bricks the table, so the commit
     * VALIDATES first: (1) duplicate (chunk_id, column) manifest rows —
-    * chunk ids are content-derived from keys, so duplicate-key-heavy
-    * input CAN mint the same id twice in one batch; every later scan
-    * would hard-fail on "duplicate chunk". (2) Orphan files inside the
-    * batch directory not named by any manifest row — a task whose
+    * writer ids are salted with (partition, sequence) precisely so
+    * duplicate content cannot collide, which makes this a pure invariant
+    * backstop (a hash collision or a future id-scheme bug); every later
+    * scan would hard-fail on "duplicate chunk". (2) Orphan files inside
+    * the batch directory not named by any manifest row — a task whose
     * EXECUTOR died never ran `DataWriter.abort`, and the
     * whole-directory readers (`readChunks`, `repairManifest`) would see
     * its chunks as duplicates. Duplicates fail the INSERT (batch
@@ -123,19 +130,18 @@ final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
       io.abortBatch(spark, table, batch)
       throw new IllegalStateException(
         s"fsst INSERT into '$table': chunk id $cid for column '$colName' appears twice in " +
-          "one batch (content-derived ids collided on duplicate-key-heavy input) — " +
-          "committing would make every scan fail; the batch was aborted. De-duplicate or " +
-          "re-key the input and re-run.")
+          "one batch (salted writer ids collided — an id-scheme invariant violation) — " +
+          "committing would make every scan fail; the batch was aborted.")
     }
     deleteOrphanFiles(rows.iterator.map(_._1).toSet)
     val manifest =
       if (rows.isEmpty) None
       else Some(rows.toSeq.toDF("file", "column", "chunk_id", "codec", "n_rows",
         "bytes_in", "bytes_out", "min_key", "max_key", "value_min", "value_max"))
-    overwriteVictims match {
+    victimsAtCommit() match {
       case Some(victims) =>
-        // overwrite commits even with zero new rows (it still deletes);
-        // adds + deletes flip through ONE marker
+        // overwrite/row-level commits even with zero new rows (it still
+        // deletes); adds + deletes flip through ONE marker
         io.commitExternalBatchWithDeletes(spark, table, batch, manifest, victims)
       case None =>
         manifest match {
@@ -169,9 +175,10 @@ final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
 }
 
 final class FsstWriterFactory(schema: StructType, colDirs: Map[String, String],
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration, leadingOpColumn: Boolean = false)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FsstDataWriter(schema, colDirs, conf.value, partitionId, taskId)
+    new FsstDataWriter(schema, colDirs, conf.value, partitionId, taskId, leadingOpColumn)
 }
 
 /** Buffers a task's rows into ~targetChunkBytes chunks, encodes, and
@@ -181,10 +188,18 @@ final class FsstWriterFactory(schema: StructType, colDirs: Map[String, String],
   * projected blob reads see identical files.
   */
 final class FsstDataWriter(schema: StructType, colDirs: Map[String, String],
-    conf: Configuration, partitionId: Int, taskId: Long)
+    conf: Configuration, partitionId: Int, taskId: Long,
+    leadingOpColumn: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val TargetChunkBytes = 16L << 20
+  // Spark's group-based row-level rewrites (UPDATE / MERGE / rewritten
+  // DELETE) prepend an int `__row_operation` column to every row of the
+  // replace-data query; with no metadata projection the plain writing
+  // task hands rows through UNPROJECTED (ReplaceDataExec.writingTask
+  // falls back to DataWritingSparkTask when metadataProjection is None),
+  // so the data columns sit one ordinal to the right of the write schema.
+  private val base = if (leadingOpColumn) 1 else 0
   private val fields = schema.fields
   require(fields.nonEmpty && fields(0).name == "key" && fields(0).dataType == StringType,
     s"fsst write schema must lead with the string key, got ${schema.simpleString}")
@@ -192,6 +207,8 @@ final class FsstDataWriter(schema: StructType, colDirs: Map[String, String],
   private val names = valueFields.map(_.name)
   private val isLong = valueFields.map(f => f.dataType == LongType || f.dataType == DoubleType)
   private val isDouble = valueFields.map(_.dataType == DoubleType)
+
+  private var chunkSeq = 0L
 
   // row buffers (copied out of the reused InternalRow)
   private val keys = new java.util.ArrayList[String]()
@@ -236,13 +253,16 @@ final class FsstDataWriter(schema: StructType, colDirs: Map[String, String],
   }
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(0), "fsst write: null key")
-    val key = row.getUTF8String(0).toString // copy out of the reused row
+    require(row.numFields == base + fields.length,
+      s"fsst write: row has ${row.numFields} fields, expected ${base + fields.length} " +
+        s"(leadingOpColumn=$leadingOpColumn, ${schema.simpleString})")
+    require(!row.isNullAt(base), "fsst write: null key")
+    val key = row.getUTF8String(base).toString // copy out of the reused row
     keys.add(key)
     bufferedBytes += key.length
     var ci = 0
     while (ci < names.length) {
-      val fi = ci + 1
+      val fi = base + ci + 1
       val v: AnyRef =
         if (row.isNullAt(fi)) null
         else if (isDouble(ci)) java.lang.Long.valueOf(
@@ -287,8 +307,13 @@ final class FsstDataWriter(schema: StructType, colDirs: Map[String, String],
       }
       ci += 1
     }
+    // salt = (partition, per-writer chunk sequence): ids stay unique
+    // within the batch even when the same rows are written twice (the
+    // content-derived base id alone would collide and abort the commit)
+    chunkSeq += 1
+    val salt = (partitionId.toLong + 1L) << 24 | chunkSeq
     EncodePipeline.encodeChunkFromArrays(keyArr, names, isLong, isDouble,
-      byteVals, longVals, longNulls).foreach(appendResult)
+      byteVals, longVals, longNulls, salt).foreach(appendResult)
     keys.clear(); cols.foreach(_.clear()); bufferedBytes = 0L
   }
 

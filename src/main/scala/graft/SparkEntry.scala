@@ -75,6 +75,8 @@ object SparkEntry {
     "dsv2_sql_ddl" -> (Queries.dsv2SqlDdl _),
     "dsv2_sql_delete" -> (Queries.dsv2SqlDelete _),
     "dsv2_sql_delete_rows" -> (Queries.dsv2SqlDeleteRows _),
+    "dsv2_sql_update" -> (Queries.dsv2SqlUpdate _),
+    "dsv2_sql_merge" -> (Queries.dsv2SqlMerge _),
     "dsv2_sql_alter" -> (Queries.dsv2SqlAlter _),
     "dsv2_overwrite" -> (Queries.dsv2Overwrite _),
     "dsv2_meta_tables" -> (Queries.dsv2MetaTables _),
@@ -204,6 +206,34 @@ object SparkEntry {
                WHERE NOT (n_chars >= 400 AND n_chars < 700)) AS BIGINT) AS text_bytes,
          CAST(0 AS BIGINT) AS n_leftover,
          CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_before""",
+    // copy-on-write UPDATE: n*10 and text+'!' for n in [400,700)
+    "dsv2_sql_update" ->
+      """WITH upd AS (SELECT
+           CASE WHEN n_chars >= 400 AND n_chars < 700
+                THEN n_chars * 10 ELSE n_chars END AS n,
+           strlen(text) + CASE WHEN n_chars >= 400 AND n_chars < 700
+                THEN 1 ELSE 0 END AS text_len
+         FROM documents)
+         SELECT
+         CAST((SELECT count(*) FROM upd) AS BIGINT) AS n_live,
+         CAST((SELECT sum(n) FROM upd) AS BIGINT) AS sum_n,
+         CAST((SELECT sum(text_len) FROM upd) AS BIGINT) AS text_bytes,
+         CAST((SELECT count(*) FROM upd
+               WHERE n >= 4000 AND n < 7000 AND n % 10 = 0) AS BIGINT) AS n_updated,
+         CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS sum_n_before""",
+    // MERGE: n>=900 deleted, 600<n<900 updated (+1000), n<=300 inserted as N-keys
+    "dsv2_sql_merge" ->
+      """WITH fin AS (
+           SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+                  CASE WHEN n_chars > 600 THEN n_chars + 1000 ELSE n_chars END AS n
+           FROM documents WHERE n_chars < 900
+           UNION ALL
+           SELECT 'N' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key, n_chars AS n
+           FROM documents WHERE n_chars <= 300)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS sum_n,
+         min(key) AS min_key, max(key) AS max_key,
+         CAST(sum(CASE WHEN key LIKE 'N%' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+         FROM fin""",
     // ADD COLUMN: even doc_ids predate the column (NULL), odd carry it
     "dsv2_sql_alter" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -792,6 +792,129 @@ class DataSourceSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.pages").count() == 2 * n)
   }
 
+  test("SQL UPDATE: copy-on-write rewrite, untouched rows intact, time travel") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf.orderBy("ts").coalesce(1)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
+    val cat = s"fsst_upd_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val pre = io.committedBatchIds(spark, "pages").sorted.last
+    val mBefore = io.manifest(spark, "pages").count()
+    val n = df.count()
+    val bounds = df.agg(min("ts"), max("ts")).collect()(0)
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val nHit = df.filter(col("ts") < cut).count()
+    assert(nHit > 0 && nHit < n, "fixture: the cut must split the table")
+    spark.sql(s"UPDATE $cat.pages SET ts = ts + 1000000000, score = score * 2 WHERE ts < $cut")
+    val t = spark.table(s"$cat.pages")
+    assert(t.count() == n, "UPDATE changed the row count")
+    assert(t.filter(col("ts") < cut).count() == 0, "matching rows kept their old ts")
+    // every column of every row — updated AND untouched — is bit-exact
+    val want = df.select(col("url"),
+      when(col("ts") < cut, col("ts") + 1000000000L).otherwise(col("ts")).as("ts2"),
+      when(col("ts") < cut, col("score") * 2).otherwise(col("score")).as("score2"),
+      col("text"), col("html"))
+    val joined = want.join(t, want("url") === t("key"), "full_outer")
+    assert(joined.filter(col("url").isNull || col("key").isNull).count() == 0)
+    val bad = joined.filter(
+      !(encode(want("text"), "UTF-8") <=> t("text")) || !(want("html") <=> t("html")) ||
+        !(want("ts2") <=> t("ts")) || !(want("score2") <=> t("score"))).count()
+    assert(bad == 0, "UPDATE corrupted a row")
+    // zone-pruned: chunks that cannot match are NOT rewritten (the update
+    // snapshot tombstones fewer manifest rows than the table holds)
+    val snap = io.snapshots(spark, "pages").orderBy(col("batch").desc).limit(1).collect()(0)
+    val gated = snap.getLong(snap.fieldIndex("n_deletes_gated"))
+    assert(gated > 0 && gated < mBefore,
+      s"UPDATE rewrote $gated of $mBefore chunk-column instances — expected a pruned subset")
+    // time travel to the pre-update snapshot reads the original values
+    assert(spark.sql(s"SELECT sum(ts) AS s FROM $cat.pages VERSION AS OF '$pre'")
+      .collect()(0).getLong(0) == df.agg(sum("ts")).collect()(0).getLong(0))
+  }
+
+  test("MERGE INTO: update, delete, insert commit as ONE snapshot") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val docs = pagesDf.select(col("url"), col("ts")).orderBy("url").coalesce(1)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("url"),
+      Seq(ColSpec("ts", col("ts"), isLong = true)), 4L << 10), "docs")
+    val cat = s"fsst_mrg_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val bounds = docs.agg(min("ts"), max("ts")).collect()(0)
+    val third = (bounds.getLong(1) - bounds.getLong(0)) / 3
+    val (lo, hi) = (bounds.getLong(0) + third, bounds.getLong(0) + 2 * third)
+    // source: matched rows in [lo, inf) — delete above hi, update the rest —
+    // plus unmatched Z-keys (insert) mirroring rows below lo
+    docs.filter(col("ts") >= lo).select(col("url").as("k"), col("ts").as("sts"))
+      .union(docs.filter(col("ts") < lo)
+        .select(concat(lit("Z"), col("url")).as("k"), col("ts").as("sts")))
+      .createOrReplaceTempView("fsst_merge_spec_src")
+    val batchesBefore = io.committedBatchIds(spark, "docs").length
+    spark.sql(s"""MERGE INTO $cat.docs t USING fsst_merge_spec_src s ON t.key = s.k
+                  WHEN MATCHED AND s.sts > $hi THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET ts = t.ts + 7
+                  WHEN NOT MATCHED THEN INSERT (key, ts) VALUES (s.k, s.sts)""")
+    // exactly ONE new snapshot carried deletes, updates, and inserts
+    assert(io.committedBatchIds(spark, "docs").length == batchesBefore + 1)
+    val want = docs.filter(col("ts") <= hi).select(col("url").as("key"),
+        when(col("ts") >= lo, col("ts") + 7).otherwise(col("ts")).as("ts"))
+      .union(docs.filter(col("ts") < lo)
+        .select(concat(lit("Z"), col("url")).as("key"), col("ts")))
+    val t = spark.table(s"$cat.docs")
+    assert(t.count() == want.count(), "MERGE produced the wrong row count")
+    assert(t.exceptAll(want).count() == 0 && want.exceptAll(t).count() == 0,
+      "MERGE result does not match the expected table state")
+  }
+
+  test("DELETE with a subquery condition runs the group-based rewrite") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf.orderBy("url").coalesce(1)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
+    val cat = s"fsst_subq_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val n = df.count()
+    // victims: every 7th key — no chunk alignment, not even translatable
+    df.filter(col("ts") % 7000 === 0).select(col("url").as("vk"))
+      .createOrReplaceTempView("fsst_subq_victims")
+    val nKill = spark.table("fsst_subq_victims").count()
+    assert(nKill > 0 && nKill < n)
+    spark.sql(s"DELETE FROM $cat.pages WHERE key IN (SELECT vk FROM fsst_subq_victims)")
+    val t = spark.table(s"$cat.pages")
+    assert(t.count() == n - nKill, "subquery DELETE removed the wrong number of rows")
+    assert(t.join(spark.table("fsst_subq_victims"), t("key") === col("vk"), "left_semi")
+      .count() == 0, "a deleted key survived")
+    // kept rows remain bit-exact
+    val wantSum = df.filter(col("ts") % 7000 =!= 0).agg(sum("ts")).collect()(0).getLong(0)
+    assert(t.agg(sum("ts")).collect()(0).getLong(0) == wantSum)
+  }
+
+  test("UPDATE handles duplicate live chunk instances: both copies rewritten") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val docs = pagesDf.select(col("url"), col("ts")).orderBy("url").coalesce(1)
+    // identical content twice: duplicate (chunk_id, column) instances live
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("url"),
+      Seq(ColSpec("ts", col("ts"), isLong = true)), 8L << 10), "docs")
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("url"),
+      Seq(ColSpec("ts", col("ts"), isLong = true)), 8L << 10), "docs")
+    val cat = s"fsst_dupu_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val n = docs.count()
+    val cut = docs.agg(max("ts")).collect()(0).getLong(0)
+    spark.sql(s"UPDATE $cat.docs SET ts = ts + 13 WHERE ts < $cut")
+    val t = spark.table(s"$cat.docs")
+    assert(t.count() == 2 * n, "UPDATE collapsed the duplicate rows")
+    val wantSum = 2 * docs.select(sum(when(col("ts") < cut, col("ts") + 13)
+      .otherwise(col("ts")))).collect()(0).getLong(0)
+    assert(t.agg(sum("ts")).collect()(0).getLong(0) == wantSum,
+      "one duplicate instance escaped the rewrite")
+  }
+
   test("INSERT OVERWRITE commits deletes and adds as ONE snapshot") {
     val root = freshRoot()
     val cat = s"fsst_ovw_${math.abs(root.hashCode)}"
