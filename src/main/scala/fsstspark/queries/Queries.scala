@@ -1255,7 +1255,7 @@ object Queries {
 
   /** `MERGE INTO` through the same group-based rewrite — all three
     * actions in one statement over one snapshot: matched rows with
-    * n >= 900 DELETE, other matched rows UPDATE (n + 1000), unmatched
+    * n >= 500 DELETE, other matched rows UPDATE (n + 1000), unmatched
     * source rows INSERT under fresh `N…` keys. DuckDB reproduces the
     * final state as a UNION of the three row populations.
     */
@@ -1272,13 +1272,16 @@ object Queries {
     val cat = s"fsst_mrgq_${math.abs(root.hashCode)}"
     s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
-    // source: every doc with n > 600 (matches its target row) plus an
-    // unmatched N-prefixed row for every doc with n <= 300
-    docs.filter(col("n") > 600).select(col("k"), col("n"))
-      .union(docs.filter(col("n") <= 300).select(concat(lit("N"), col("k")).as("k"), col("n")))
+    // source: every doc with n > 350 (matches its target row) plus an
+    // unmatched N-prefixed row for every doc with n <= 200 — thresholds
+    // sit inside the synthetic n_chars range (~[?,560]) so all THREE
+    // merge actions fire at every SF (n >= 500 deletes, 350 < n < 500
+    // updates, n <= 200 inserts)
+    docs.filter(col("n") > 350).select(col("k"), col("n"))
+      .union(docs.filter(col("n") <= 200).select(concat(lit("N"), col("k")).as("k"), col("n")))
       .createOrReplaceTempView("fsst_merge_src")
     s.sql(s"""MERGE INTO $cat.docs t USING fsst_merge_src s ON t.key = s.k
-              WHEN MATCHED AND s.n >= 900 THEN DELETE
+              WHEN MATCHED AND s.n >= 500 THEN DELETE
               WHEN MATCHED THEN UPDATE SET n = t.n + 1000
               WHEN NOT MATCHED THEN INSERT (key, n) VALUES (s.k, s.n)""")
     s.sql(s"""SELECT count(*) AS n_rows, sum(n) AS sum_n, min(key) AS min_key,

@@ -217,7 +217,29 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_chunk_id` — the storage group a row lives in, surfaced as a
+    * METADATA column (Iceberg's `_file` analogue at this catalog's group
+    * granularity). Hidden from `SELECT *`, selectable explicitly, and the
+    * group identity row-level operations runtime-filter on:
+    * [[FsstScan]] implements `SupportsRuntimeFiltering` over it and
+    * [[FsstRowLevelOperation]] declares it required, which is what lets
+    * Spark's `RowLevelOperationRuntimeGroupFiltering` narrow a MERGE's
+    * rewrite to the groups its source rows actually touch. A table
+    * declaring its own `_chunk_id` DATA column shadows it (Spark hides
+    * the metadata column; the scan keeps treating the name as stored).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FsstScan.ChunkIdCol
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      // nullable (the default): a MERGE's NOT MATCHED inserts carry NULL
+      // for the metadata attrs of rows that have no source chunk yet
+      override def comment(): String = "id of the encoded chunk holding this row"
+    })
+
   override def name(): String =
     s"fsst.`$root`.`$tableName`" + asOf.map(b => s" AS OF $b").getOrElse("")
   override def schema(): StructType = tableSchema
@@ -329,9 +351,19 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // after an aggregate pushdown the read schema IS the agg schema;
-    // otherwise preserve our field order/types (Spark's set may reorder)
-    if (agg.isEmpty)
-      required = StructType(tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    // otherwise preserve our field order/types (Spark's set may reorder).
+    // The `_chunk_id` METADATA column is kept (appended last) unless the
+    // table shadows it with a stored column of the same name.
+    if (agg.isEmpty) {
+      val names = requiredSchema.fieldNames.toSet
+      val stored = tableSchema.fields.filter(f => names.contains(f.name))
+      val meta =
+        if (names.contains(FsstScan.ChunkIdCol) &&
+            !tableSchema.fieldNames.contains(FsstScan.ChunkIdCol))
+          Array(StructField(FsstScan.ChunkIdCol, LongType))
+        else Array.empty[StructField]
+      required = StructType(stored ++ meta)
+    }
 
   /** Keep the filters usable for metadata pruning; hand EVERY filter back
     * as a residual — chunk-granular pruning is conservative, so Spark
@@ -453,11 +485,52 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     agg: Option[(StructType, Array[AggSpec])] = None, columnarMode: String = "off",
     asOf: Option[String] = None, columnSince: Map[String, String] = Map.empty,
     rowLevel: Option[FsstRowLevelOperation] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   /** Every manifest read in this scan honors the snapshot pin. */
   private def manifestDf(spark: SparkSession, io: ParquetTableIO) =
     io.manifestOpt(spark, table, asOf)
+
+  // ------------------------------------------ runtime group filtering
+  // Spark's RowLevelOperationRuntimeGroupFiltering (and DPP on an
+  // explicit `_chunk_id` join) narrows this scan AT EXECUTION to the
+  // chunk ids a probe query actually matched: BatchScanExec calls
+  // `filter(...)` then re-plans input partitions. The id set pushes
+  // into the manifest parquet read, so a selective MERGE plans (and its
+  // row-level write later tombstones) only the touched groups — without
+  // this, a MERGE's ON join gives the planner nothing static to prune
+  // with and every chunk would be rewritten.
+  @volatile private var runtimeChunkIds: Option[Set[Long]] = None
+  @volatile private var cachedPlan: (Array[ChunkGroupPartition], Long, Long) = _
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // advertised ONLY when this scan outputs the metadata column: Spark's
+    // join-DPP rule (PartitionPruning) resolves these refs against the
+    // scan relation's OUTPUT and throws on a miss, so a plain pruned scan
+    // must advertise nothing. Row-level operation scans always qualify —
+    // the operation's requiredMetadataAttributes forces `_chunk_id` into
+    // the projection, which is what RowLevelOperationRuntimeGroupFiltering
+    // resolves against. (A table shadowing the name with a DATA column
+    // keeps it out of `required`'s metadata set via pruneColumns, and the
+    // stored column is not group identity — advertise nothing then too.)
+    if (agg.isEmpty && required.fieldNames.contains(FsstScan.ChunkIdCol) &&
+        !tableSchema.fieldNames.contains(FsstScan.ChunkIdCol))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(FsstScan.ChunkIdCol))
+    else Array.empty
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val idSets = runtime.collect {
+      case In(FsstScan.ChunkIdCol, vs) =>
+        vs.iterator.collect { case l: java.lang.Long => l.longValue() }.toSet
+      case EqualTo(FsstScan.ChunkIdCol, l: java.lang.Long) => Set(l.longValue())
+    }
+    if (idSets.nonEmpty) {
+      val merged = idSets.reduce(_ intersect _)
+      runtimeChunkIds = Some(runtimeChunkIds.fold(merged)(_ intersect merged))
+      cachedPlan = null // re-plan under the narrowed id set
+    }
+  }
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
   override def toBatch: Batch = this
@@ -528,10 +601,39 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     * same predicates driver-side as a residual (idempotent) and keeps
     * only the grouping role.
     */
-  private lazy val plan: (Array[ChunkGroupPartition], Long, Long) = {
+  private def plan: (Array[ChunkGroupPartition], Long, Long) = {
+    val p = cachedPlan
+    if (p != null) p
+    else { val fresh = computePlan(); cachedPlan = fresh; fresh }
+  }
+
+  private def computePlan(): (Array[ChunkGroupPartition], Long, Long) = {
+    val res = computePlanInner()
+    // record the planned victims for the row-level write's commit: every
+    // (chunk_id, column) manifest row of every planned instance. Distinct
+    // collapses duplicate-id instances across batches — ONE batch-gated
+    // tombstone kills them all, and all were read. Assigned on EVERY
+    // planning pass (including the empty one): runtime group filtering
+    // RE-plans this scan, and victims MUST mirror the plan that actually
+    // executed — a probe that matched nothing means nothing was read, so
+    // nothing may be tombstoned (stale victims from the pre-filter pass
+    // would silently delete unread chunks).
+    rowLevel.foreach { op =>
+      op.plannedVictims = Some(res._1.iterator.flatMap(p =>
+        p.colFiles.iterator.filter(_.file.nonEmpty).flatMap(cf =>
+          p.chunkIds.iterator.map(id => (id, cf.column)))).toArray.distinct)
+    }
+    res
+  }
+
+  private def computePlanInner(): (Array[ChunkGroupPartition], Long, Long) = {
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
-    val valueFields = required.fieldNames.filter(_ != "key").toSeq
+    // an EMPTY runtime id set means the probe matched no groups at all —
+    // nothing to read, nothing to rewrite
+    if (runtimeChunkIds.exists(_.isEmpty)) return (Array.empty, 0L, 0L)
+    val stored = FsstScan.storedFields(required, tableSchema)
+    val valueFields = stored.fieldNames.filter(_ != "key").toSeq
     // a row-level rewrite replaces whole chunks, so the scan MUST carry
     // every stored column — Spark plans ReplaceData over full rows; a
     // pruned projection here would mean silently dropping the unfetched
@@ -547,8 +649,16 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       tableSchema.fields.exists(f => f.name == c &&
         (f.dataType == LongType || f.dataType == DoubleType))).toSet
     val doubleCols = tableSchema.fields.filter(_.dataType == DoubleType).map(_.name).toSet
-    val m = manifestDf(spark, io)
-    if (valueFields.isEmpty && statCols.isEmpty && !required.fieldNames.contains("key")) {
+    // the runtime id set is EXACT on chunk_id: push it into the manifest
+    // parquet scan when small (the common selective-DML case); a huge set
+    // (barely-selective probe) stays driver-side — the collected rows are
+    // filtered by set membership below, so victims are exact either way
+    // and a giant In expression never reaches the parquet reader
+    val m = runtimeChunkIds.filter(_.size <= FsstScan.RuntimeIdPushdownLimit)
+      .fold(manifestDf(spark, io))(ids =>
+        manifestDf(spark, io)
+          .filter(org.apache.spark.sql.functions.col("chunk_id").isInCollection(ids)))
+    if (valueFields.isEmpty && statCols.isEmpty && !stored.fieldNames.contains("key")) {
       // empty projection, no value filters: count rows straight off the
       // manifest (any single column counts each chunk's rows exactly once);
       // the key predicate is pushed into the manifest parquet scan, the
@@ -560,6 +670,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
         .select("chunk_id", "n_rows", "min_key", "max_key")
         .collect()
         .filter(r => FsstScan.keySurvives(r.getString(2), r.getString(3), filters))
+        .filter(r => runtimeChunkIds.forall(_.contains(r.getLong(0))))
       val parts = rows.grouped(chunksPerPartition).map { g =>
         ChunkGroupPartition(g.map(_.getLong(0)), g.map(_.getLong(1)), Array.empty)
       }.toArray
@@ -585,18 +696,9 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
         .select("file", "column", "chunk_id", "n_rows", "bytes_out",
           "min_key", "max_key", "value_min", "value_max")
         .collect()
-      val res = FsstScan.planFromManifest(mAll, required, tableSchema, filters,
+        .filter(r => runtimeChunkIds.forall(_.contains(r.getLong(2))))
+      FsstScan.planFromManifest(mAll, stored, tableSchema, filters,
         chunksPerPartition, table, Some((fetch, readValues)), columnSince)
-      // record the planned victims for the row-level write's commit:
-      // every (chunk_id, column) manifest row of every planned instance.
-      // Distinct collapses duplicate-id instances across batches — ONE
-      // batch-gated tombstone kills them all, and all were read.
-      rowLevel.foreach { op =>
-        op.plannedVictims = Some(res._1.iterator.flatMap(p =>
-          p.colFiles.iterator.filter(_.file.nonEmpty).flatMap(cf =>
-            p.chunkIds.iterator.map(id => (id, cf.column)))).toArray.distinct)
-      }
-      res
     }
   }
 
@@ -726,6 +828,24 @@ final class FsstMicroBatchStream(root: String, table: String, tableSchema: Struc
 }
 
 private[sources] object FsstScan {
+  /** Name of the `_chunk_id` metadata column ([[FsstTable.metadataColumns]]). */
+  val ChunkIdCol = "_chunk_id"
+
+  /** Largest runtime chunk-id set pushed into the manifest parquet scan
+    * as an In predicate; bigger sets (a barely-selective probe) filter
+    * driver-side on the statically-pruned collect instead — same exact
+    * result, no giant expression in the parquet reader.
+    */
+  val RuntimeIdPushdownLimit = 10000
+
+  /** `required` minus the metadata columns — the STORED fields a plan
+    * fetches from disk (metadata values are emitted by the reader from
+    * the partition's own chunk list, never read).
+    */
+  def storedFields(required: StructType, tableSchema: StructType): StructType =
+    StructType(required.fields.filter(f =>
+      f.name != ChunkIdCol || tableSchema.fieldNames.contains(ChunkIdCol)))
+
   /** The ingest batch a data file belongs to, parsed from its
     * `batch=` partition directory ([[ParquetTableIO]] writes data under
     * `data/batch=<id>/column=<name>/`). Distinguishes physical chunks
@@ -765,7 +885,9 @@ private[sources] object FsstScan {
       tableSchema: StructType, filters: Array[Filter], chunksPerPartition: Int,
       table: String, fetchOverride: Option[(Seq[String], Boolean)] = None,
       columnSince: Map[String, String] = Map.empty): (Array[ChunkGroupPartition], Long, Long) = {
-    val valueFields = required.fieldNames.filter(_ != "key").toSeq
+    // metadata columns are reader-emitted, never fetched from disk
+    val valueFields =
+      storedFields(required, tableSchema).fieldNames.filter(_ != "key").toSeq
     val doubleCols = tableSchema.fields.filter(_.dataType == DoubleType).map(_.name).toSet
     val statCols = filters.flatMap(references).filter(c =>
       tableSchema.fields.exists(f => f.name == c &&
@@ -1190,6 +1312,7 @@ final class FsstReaderFactory(schema: StructType, conf: SerializableConfiguratio
   * eq-answered or of the other kind).
   */
 private[sources] final case class DecodedChunk(
+    cid: Long,
     nRows: Int,
     /** row indices to surface; null = every row (no eq filter applied) */
     emit: Array[Int],
@@ -1330,7 +1453,7 @@ private[sources] final class ChunkGroupDecoder(schema: StructType, part: ChunkGr
         // index array and no indirection)
         if (selected != null) require(selected.isEmpty || selected.last < n,
           s"chunk $cid: selectEquals index ${selected.last} out of $n rows")
-        Iterator.single(DecodedChunk(n, selected, keys, decodedBytes, decodedLongs, eqTarget))
+        Iterator.single(DecodedChunk(cid, n, selected, keys, decodedBytes, decodedLongs, eqTarget))
       }
     }
   }
@@ -1352,8 +1475,17 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
         override def hasNext: Boolean = i < total
         override def next(): InternalRow = { i += 1; new GenericInternalRow(0) }
       }
-    } else if (part.colFiles.isEmpty) Iterator.empty // projection needs columns but none planned
-    else {
+    } else if (part.colFiles.isEmpty) {
+      // a metadata-only projection (just `_chunk_id`) rides the count-path
+      // partitions: ids and row counts come straight off the manifest,
+      // no data file is opened
+      if (fields.forall(_.name == FsstScan.ChunkIdCol))
+        part.chunkIds.iterator.zip(part.nRows.iterator).flatMap { case (cid, n) =>
+          val row: InternalRow = new GenericInternalRow(Array.fill[Any](fields.length)(cid))
+          Iterator.fill(n.toInt)(row)
+        }
+      else Iterator.empty // projection needs stored columns but none planned
+    } else {
       val dec = new ChunkGroupDecoder(schema, part, conf, eqFilters)
       dec.decodedChunks().flatMap { d =>
         Iterator.tabulate(d.emitCount) { j =>
@@ -1363,7 +1495,8 @@ final class ChunkGroupReader(schema: StructType, part: ChunkGroupPartition,
           while (fi < fields.length) {
             val f = fields(fi)
             arr(fi) =
-              if (f.name == "key") UTF8String.fromBytes(d.keys(ri))
+              if (f.name == FsstScan.ChunkIdCol) d.cid
+              else if (f.name == "key") UTF8String.fromBytes(d.keys(ri))
               else if (d.eqTargets.containsKey(f.name)) {
                 val t = d.eqTargets.get(f.name).get(ri)
                 if (f.dataType == StringType) UTF8String.fromBytes(t) else t
@@ -1425,7 +1558,9 @@ final class ChunkGroupColumnarReader(schema: StructType, part: ChunkGroupPartiti
     val vectors = fields.map { f =>
       val v = new OnHeapColumnVector(m, f.dataType)
       var j = 0
-      if (f.name == "key") {
+      if (f.name == FsstScan.ChunkIdCol) {
+        v.putLongs(0, m, d.cid)
+      } else if (f.name == "key") {
         while (j < m) { val b = d.keys(d.rowAt(j)); v.putByteArray(j, b, 0, b.length); j += 1 }
       } else if (d.eqTargets.containsKey(f.name)) {
         val perIdx = d.eqTargets.get(f.name)

@@ -61,6 +61,23 @@ final class FsstRowLevelOperation(root: String, table: String, tableSchema: Stru
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** `_chunk_id` rides the whole operation as a metadata column. Two
+    * jobs: (1) it makes the operation eligible for Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` — the probe subquery
+    * (a normal pruned scan of the table joined to the operation's
+    * condition) collects the DISTINCT matched chunk ids and the
+    * operation scan is runtime-filtered to exactly those groups, so a
+    * selective MERGE rewrites only the chunks its source touches instead
+    * of every chunk (the ON join gives static pruning nothing);
+    * (2) metadata attributes being present switches Spark to the
+    * projected writing task, so [[FsstDataWriter]] receives clean rows
+    * of the write schema (the `__row_operation` prefix the unprojected
+    * path leaks is projected away).
+    */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(FsstScan.ChunkIdCol))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FsstScanBuilder(root, table, tableSchema, chunksPerPartition, "off", None,
       columnSince, rowLevel = Some(this))
@@ -88,7 +105,7 @@ final class FsstRowLevelOperation(root: String, table: String, tableSchema: Stru
               import spark.implicits._
               Some(vs.toSeq.toDF("chunk_id", "column"))
             }
-          }, leadingOpColumn = true)
+          })
       }
     }
   }

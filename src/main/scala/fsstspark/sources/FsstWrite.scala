@@ -95,8 +95,7 @@ private[sources] final case class FsstWriterCommit(
   * which may happen after this write is constructed.
   */
 final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
-    victimsAtCommit: () => Option[org.apache.spark.sql.DataFrame] = () => None,
-    leadingOpColumn: Boolean = false)
+    victimsAtCommit: () => Option[org.apache.spark.sql.DataFrame] = () => None)
     extends BatchWrite {
   private val spark = SparkSession.active
   private val io = new ParquetTableIO(root)
@@ -106,7 +105,7 @@ final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
     val colDirs = tableSchema.fields.filter(_.name != "key")
       .map(f => f.name -> io.batchColumnDir(table, batch, f.name)).toMap
     new FsstWriterFactory(tableSchema, colDirs,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()), leadingOpColumn)
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 
   /** Committing an unreadable state bricks the table, so the commit
@@ -175,10 +174,9 @@ final class FsstBatchWrite(root: String, table: String, tableSchema: StructType,
 }
 
 final class FsstWriterFactory(schema: StructType, colDirs: Map[String, String],
-    conf: SerializableConfiguration, leadingOpColumn: Boolean = false)
-    extends DataWriterFactory {
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FsstDataWriter(schema, colDirs, conf.value, partitionId, taskId, leadingOpColumn)
+    new FsstDataWriter(schema, colDirs, conf.value, partitionId, taskId)
 }
 
 /** Buffers a task's rows into ~targetChunkBytes chunks, encodes, and
@@ -188,18 +186,10 @@ final class FsstWriterFactory(schema: StructType, colDirs: Map[String, String],
   * projected blob reads see identical files.
   */
 final class FsstDataWriter(schema: StructType, colDirs: Map[String, String],
-    conf: Configuration, partitionId: Int, taskId: Long,
-    leadingOpColumn: Boolean = false)
+    conf: Configuration, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
   private val TargetChunkBytes = 16L << 20
-  // Spark's group-based row-level rewrites (UPDATE / MERGE / rewritten
-  // DELETE) prepend an int `__row_operation` column to every row of the
-  // replace-data query; with no metadata projection the plain writing
-  // task hands rows through UNPROJECTED (ReplaceDataExec.writingTask
-  // falls back to DataWritingSparkTask when metadataProjection is None),
-  // so the data columns sit one ordinal to the right of the write schema.
-  private val base = if (leadingOpColumn) 1 else 0
   private val fields = schema.fields
   require(fields.nonEmpty && fields(0).name == "key" && fields(0).dataType == StringType,
     s"fsst write schema must lead with the string key, got ${schema.simpleString}")
@@ -253,16 +243,24 @@ final class FsstDataWriter(schema: StructType, colDirs: Map[String, String],
   }
 
   override def write(row: InternalRow): Unit = {
-    require(row.numFields == base + fields.length,
-      s"fsst write: row has ${row.numFields} fields, expected ${base + fields.length} " +
-        s"(leadingOpColumn=$leadingOpColumn, ${schema.simpleString})")
-    require(!row.isNullAt(base), "fsst write: null key")
-    val key = row.getUTF8String(base).toString // copy out of the reused row
+    // Row-level rewrites reach this writer through Spark's PROJECTED
+    // writing task (the operation declares metadata attributes, so
+    // DataAndMetadataWritingSparkTask projects the data columns before
+    // the 2-arg write, whose default delegates here) — every caller
+    // hands rows of exactly the write schema. The arity check is the
+    // loud guard against Spark's UNPROJECTED fallback path (no metadata
+    // projection → rows keep their leading __row_operation int), which
+    // would otherwise corrupt ordinals silently.
+    require(row.numFields == fields.length,
+      s"fsst write: row has ${row.numFields} fields, expected ${fields.length} " +
+        s"(${schema.simpleString})")
+    require(!row.isNullAt(0), "fsst write: null key")
+    val key = row.getUTF8String(0).toString // copy out of the reused row
     keys.add(key)
     bufferedBytes += key.length
     var ci = 0
     while (ci < names.length) {
-      val fi = base + ci + 1
+      val fi = ci + 1
       val v: AnyRef =
         if (row.isNullAt(fi)) null
         else if (isDouble(ci)) java.lang.Long.valueOf(

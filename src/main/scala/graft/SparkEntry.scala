@@ -221,15 +221,15 @@ object SparkEntry {
          CAST((SELECT count(*) FROM upd
                WHERE n >= 4000 AND n < 7000 AND n % 10 = 0) AS BIGINT) AS n_updated,
          CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS sum_n_before""",
-    // MERGE: n>=900 deleted, 600<n<900 updated (+1000), n<=300 inserted as N-keys
+    // MERGE: n>=500 deleted, 350<n<500 updated (+1000), n<=200 inserted as N-keys
     "dsv2_sql_merge" ->
       """WITH fin AS (
            SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
-                  CASE WHEN n_chars > 600 THEN n_chars + 1000 ELSE n_chars END AS n
-           FROM documents WHERE n_chars < 900
+                  CASE WHEN n_chars > 350 THEN n_chars + 1000 ELSE n_chars END AS n
+           FROM documents WHERE n_chars < 500
            UNION ALL
            SELECT 'N' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key, n_chars AS n
-           FROM documents WHERE n_chars <= 300)
+           FROM documents WHERE n_chars <= 200)
          SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS sum_n,
          min(key) AS min_key, max(key) AS max_key,
          CAST(sum(CASE WHEN key LIKE 'N%' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted

@@ -833,6 +833,100 @@ class DataSourceSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == df.agg(sum("ts")).collect()(0).getLong(0))
   }
 
+  test("_chunk_id metadata column: hidden from *, exact per-row group identity") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val df = pagesDf.orderBy("url").coalesce(1)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
+    val cat = s"fsst_meta_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // hidden from SELECT *
+    assert(!spark.table(s"$cat.pages").schema.fieldNames.contains("_chunk_id"))
+    // selectable; every key sits inside its chunk's recorded key range
+    val m = io.manifest(spark, "pages").filter(col("column") === "text")
+      .select(col("chunk_id"), col("min_key"), col("max_key"), col("n_rows"))
+    val t = spark.sql(s"SELECT key, _chunk_id FROM $cat.pages")
+    assert(t.join(m, t("_chunk_id") === m("chunk_id"), "left_anti").count() == 0,
+      "a row carried a chunk id the manifest does not know")
+    val escaped = t.join(m, t("_chunk_id") === m("chunk_id"))
+      .filter(col("key") < col("min_key") || col("key") > col("max_key")).count()
+    assert(escaped == 0, "a row's key fell outside its chunk's recorded range")
+    // per-chunk row counts reproduce from the metadata column alone —
+    // a metadata-only projection plans the count path (no data files)
+    val counted = spark.sql(s"SELECT _chunk_id, count(*) AS n FROM $cat.pages GROUP BY 1")
+    assert(counted.join(m, counted("_chunk_id") === m("chunk_id"))
+      .filter(col("n") =!= col("n_rows")).count() == 0)
+    assert(counted.count() == m.count())
+  }
+
+  test("MERGE runtime group filtering: a selective source rewrites only touched chunks") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val docs = pagesDf.select(col("url"), col("ts")).orderBy("url").coalesce(1)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("url"),
+      Seq(ColSpec("ts", col("ts"), isLong = true)), 2L << 10), "docs")
+    val cat = s"fsst_rgf_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mBefore = io.manifest(spark, "docs").count()
+    val chunksBefore = io.manifest(spark, "docs").select("chunk_id").distinct().count()
+    assert(chunksBefore >= 4, s"fixture needs several chunks, got $chunksBefore")
+    // source: exactly TWO existing keys — the ON join gives the planner
+    // nothing static, so only runtime group filtering can prune
+    val twoKeys = docs.orderBy("url").limit(2).select(col("url").as("k"))
+    twoKeys.createOrReplaceTempView("fsst_rgf_src")
+    val n = docs.count()
+    spark.sql(s"""MERGE INTO $cat.docs t USING fsst_rgf_src s ON t.key = s.k
+                  WHEN MATCHED THEN UPDATE SET ts = t.ts + 1""")
+    // correctness: exactly the two rows moved
+    val t = spark.table(s"$cat.docs")
+    assert(t.count() == n)
+    val wantSum = docs.agg(sum("ts")).collect()(0).getLong(0) + 2
+    assert(t.agg(sum("ts")).collect()(0).getLong(0) == wantSum)
+    // scale shape: the rewrite tombstoned a PROPER subset of the manifest
+    // (un-touched chunks were neither read nor rewritten); two keys fall
+    // in at most two chunks = at most two manifest instances gated
+    val snap = io.snapshots(spark, "docs").orderBy(col("batch").desc).limit(1).collect()(0)
+    val gated = snap.getLong(snap.fieldIndex("n_deletes_gated"))
+    assert(gated >= 1 && gated <= 2,
+      s"MERGE gated $gated of $mBefore manifest instances — runtime group filtering " +
+        "should have narrowed the rewrite to the (at most two) chunks holding the two keys")
+  }
+
+  test("MERGE whose source matches nothing tombstones nothing (empty probe)") {
+    // regression: the runtime group filter re-plans the operation scan
+    // under the probe's matched-id set; when that set is EMPTY the
+    // victims recorded by the PRE-filter planning pass must not survive —
+    // stale victims tombstoned every statically-planned chunk while the
+    // rewrite wrote zero rows, silently deleting the whole table
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val docs = pagesDf.select(col("url"), col("ts")).orderBy("url").coalesce(1)
+    io.writeChunks(EncodePipeline.encodeColumnsLocal(docs, col("url"),
+      Seq(ColSpec("ts", col("ts"), isLong = true)), 4L << 10), "docs")
+    val cat = s"fsst_emptyp_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val n = docs.count()
+    val sumBefore = docs.agg(sum("ts")).collect()(0).getLong(0)
+    // source keys share NO key with the target (X-prefixed): zero matches
+    docs.limit(5).select(concat(lit("X"), col("url")).as("k"), col("ts").as("sts"))
+      .createOrReplaceTempView("fsst_emptyp_src")
+    spark.sql(s"""MERGE INTO $cat.docs t USING fsst_emptyp_src s ON t.key = s.k
+                  WHEN MATCHED AND s.sts > 0 THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET ts = t.ts + 1
+                  WHEN NOT MATCHED THEN INSERT (key, ts) VALUES (s.k, s.sts)""")
+    val t = spark.table(s"$cat.docs")
+    assert(t.count() == n + 5, "empty-probe MERGE lost or duplicated rows")
+    assert(t.filter(!col("key").startsWith("X")).agg(sum("ts")).collect()(0).getLong(0)
+      == sumBefore, "an original row was rewritten or tombstoned by a no-match MERGE")
+    // the merge snapshot gated ZERO deletes
+    val snap = io.snapshots(spark, "docs").orderBy(col("batch").desc).limit(1).collect()(0)
+    assert(snap.getLong(snap.fieldIndex("n_deletes_gated")) == 0,
+      "a no-match MERGE tombstoned chunks it never read")
+  }
+
   test("MERGE INTO: update, delete, insert commit as ONE snapshot") {
     val root = freshRoot()
     val io = new ParquetTableIO(root)
