@@ -390,8 +390,14 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
       Option[Array[AggSpec]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    // a row-level operation scan must surface full rows of matched groups
-    if (rowLevel.isDefined || sawFilters || aggregation.groupByExpressions.nonEmpty) return None
+    // a row-level operation scan must surface full rows of matched groups.
+    // An EMPTY aggregate list is real: an outer count() over our audit
+    // aggregates lets the optimizer strip the inner agg's functions and
+    // push an Aggregation with zero expressions — refusing it hands the
+    // (trivial) aggregate back to Spark; accepting it would leave aggRow
+    // folding nothing.
+    if (rowLevel.isDefined || sawFilters || aggregation.groupByExpressions.nonEmpty ||
+        aggregation.aggregateExpressions.isEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>

@@ -132,8 +132,59 @@ object PlanDump {
       sb.append(df.queryExecution.explainString(FormattedMode).trim)
       sb.append("\n```\n")
     }
+    appendRowLevelPlans(spark, sf, sb)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
-    println(s"PLANS.md written (${commentary.size} plans)")
+    println(s"PLANS.md written (${commentary.size + 2} plans)")
     spark.stop()
+  }
+
+  /** The DML statements execute eagerly, so their plans never surface
+    * through the returned audit DataFrames above — dump the executed
+    * ReplaceData plans of an UPDATE and a (runtime-group-filtered) MERGE
+    * over a scratch catalog table instead.
+    */
+  private def appendRowLevelPlans(spark: SparkSession, sf: String, sb: StringBuilder): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("plandump-rl").toString
+    val io = new fsstspark.io.ParquetTableIO(root)
+    val docs = fsstspark.queries.Queries.documents(spark, sf).select(
+      lpad(col("doc_id").cast("string"), 8, "0").as("k"), col("n_chars").as("n"))
+    io.writeChunks(fsstspark.pipeline.EncodePipeline.encodeColumnsLocal(docs, col("k"), Seq(
+      fsstspark.pipeline.EncodePipeline.ColSpec("n", col("n"), isLong = true)), 4L << 10), "docs")
+    spark.conf.set("spark.sql.catalog.fsst_plandump", "fsstspark.sources.FsstCatalog")
+    spark.conf.set("spark.sql.catalog.fsst_plandump.root", root)
+    docs.filter(col("n") > 350).select(col("k"), col("n"))
+      .createOrReplaceTempView("plandump_merge_src")
+    val cases = Seq(
+      ("row-level UPDATE (copy-on-write ReplaceData)",
+       """The group-based rewrite: the operation scan carries every stored
+         |column plus the _chunk_id metadata column; the zone predicate
+         |prunes victim chunks statically; MergeRows/Project applies the
+         |SET expressions; ReplaceDataExec re-encodes through the shared
+         |DataWriter and commits adds + batch-gated victim tombstones
+         |under one marker.""".stripMargin,
+       "UPDATE fsst_plandump.docs SET n = n + 10 WHERE n >= 200 AND n < 300"),
+      ("row-level MERGE (runtime group filtering)",
+       """The ON join gives static pruning nothing, so Spark's
+         |RowLevelOperationRuntimeGroupFiltering attaches a dynamicpruning
+         |InSubquery on _chunk_id to the operation's BatchScan: the probe
+         |(a normal pruned scan of the table semi-joined to the source)
+         |collects the DISTINCT matched chunk ids at runtime and the scan
+         |re-plans under exactly those groups — only touched chunks are
+         |read, rewritten, and tombstoned. (The runtime filter attaches at
+         |execution and FormattedMode does not render it on the BatchScan
+         |node; the behavior is pinned empirically — on a 20-chunk table a
+         |3-key MERGE gates 1 tombstone, and DataSourceSpec asserts a
+         |2-key MERGE gates at most 2.)""".stripMargin,
+       """MERGE INTO fsst_plandump.docs t USING plandump_merge_src s ON t.key = s.k
+         |WHEN MATCHED THEN UPDATE SET n = t.n + 1000""".stripMargin))
+    for ((title, note, stmt) <- cases) {
+      val qe = spark.sessionState.executePlan(spark.sessionState.sqlParser.parsePlan(stmt))
+      qe.assertExecutedPlanPrepared() // executes the command
+      sb.append(s"\n## $title\n\n")
+      sb.append(note.linesIterator.map(_.trim).mkString(" ")).append("\n\n```\n")
+      sb.append(qe.explainString(FormattedMode).trim)
+      sb.append("\n```\n")
+    }
   }
 }

@@ -41,7 +41,11 @@ object Bench {
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try time(name)(fn(spark, sfDir).count())
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); results(name) = -1 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e")
+        e.getStackTrace.take(14).foreach(f => System.err.println(s"[bench]   at $f"))
+        results(name) = -1
+      }
     }
 
     // Headline: encode + decode throughput over the generated pages corpus

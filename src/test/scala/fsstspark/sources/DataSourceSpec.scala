@@ -252,6 +252,10 @@ class DataSourceSpec extends AnyFunSuite {
     val planF = got.filter(col("ts") >= 0).agg(max("ts"))
       .queryExecution.executedPlan.toString
     assert(!planF.contains("PushedAggregates"), "aggregate must not push under a residual filter")
+    // regression: count() OVER an aggregate lets the optimizer strip the
+    // inner agg's functions and push an Aggregation with ZERO expressions;
+    // the builder must refuse it (accepting left aggRow folding nothing)
+    assert(got.agg(count(lit(1)), min("ts")).count() == 1)
   }
 
   test("aggregate pushdown refused when a chunk lacks zone stats") {
