@@ -773,6 +773,16 @@ final class ParquetTableIO(root: String) extends TableIO {
       .as[(Long, String, String)].collect()
   }
 
+  /** [[effectiveTombstones]] under a caller-pinned committed snapshot —
+    * for readers that must see ONE consistent view across a separately
+    * planned file list and this tombstone list.
+    */
+  def effectiveTombstonesFor(spark: SparkSession, table: String,
+      committed: Array[String]): Array[(Long, String, String)] = {
+    import spark.implicits._
+    tombstones(spark, table, committed).as[(Long, String, String)].collect()
+  }
+
   /** Physical reclamation, safe subset: delete data files whose EVERY
     * (chunk, column) row is tombstoned, then rebuild the manifest. No data
     * is copied, so there is no duplicate-visibility window — a crash

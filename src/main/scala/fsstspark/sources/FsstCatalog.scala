@@ -246,8 +246,13 @@ final class FsstCatalog extends TableCatalog {
         since = since + (colName -> io.newWatermark(spark, ident.name))
       case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
-    FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
+    // watermarks FIRST: a stray watermark for a column not yet in the
+    // declared schema is inert, but a declared column with no watermark
+    // makes every scan of pre-ALTER batches fail ("expected exactly one
+    // manifest row") — a crash between the two writes must land on the
+    // harmless side
     FsstCatalog.writeColumnSince(spark, root, ident.name, since)
+    FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
     loadTable(ident)
   }
 
@@ -321,12 +326,21 @@ private[sources] final class FsstChunksTable(root: String, base: String)
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
+        // ONE committed-batches snapshot spans the partition planning and
+        // the tombstone list: a rewrite committing between the two calls
+        // would otherwise gate away pre-commit instances whose
+        // replacement files were never planned — a torn metadata view
+        // that transiently drops live chunks
+        private lazy val committed: Array[String] = {
+          val spark = SparkSession.active
+          new ParquetTableIO(root).committedSnapshot(spark, base)
+        }
         override def readSchema(): StructType = FsstCatalog.ChunksSchema
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
           val spark = SparkSession.active
           val io = new ParquetTableIO(root)
-          io.manifestFiles(spark, base, io.committedBatchIds(spark, base).toIndexedSeq)
+          io.manifestFiles(spark, base, committed.toIndexedSeq)
             .map { case (f, b) =>
               FsstChunksPartition(f, b): InputPartition
             }
@@ -337,7 +351,7 @@ private[sources] final class FsstChunksTable(root: String, base: String)
           new FsstChunksReaderFactory(
             new org.apache.spark.util.SerializableConfiguration(
               spark.sessionState.newHadoopConf()),
-            io.effectiveTombstones(spark, base))
+            io.effectiveTombstonesFor(spark, base, committed))
         }
       }
     }

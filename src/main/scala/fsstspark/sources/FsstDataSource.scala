@@ -207,7 +207,13 @@ object FsstDataSource {
         else BinaryType
       StructField(name, dt, nullable = true)
     }
-    new FsstTable(root, table, StructType(fields), o.chunksPerPartition, o.columnar, o.asOf)
+    // columnSince rides the inferred path too: today a watermark always
+    // coexists with a declared schema (alterTable writes the watermark
+    // first, then the schema), but a manifest carrying every column
+    // PLUS a stray watermark must still null-pad correctly rather than
+    // hard-fail on pre-evolution batches
+    new FsstTable(root, table, StructType(fields), o.chunksPerPartition, o.columnar, o.asOf,
+      columnSince)
   }
 }
 
@@ -299,10 +305,31 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     }
 
   // chunk-aligned predicates delete as pure metadata; anything Catalyst
-  // can evaluate on decoded rows deletes as a copy-on-write rewrite
+  // can evaluate on decoded rows deletes as a copy-on-write rewrite —
+  // but only when the table STATE is rewrite-capable: [[FsstRowDelete]]
+  // refuses schema-evolved victim chunks and duplicate live instances at
+  // execution (hard DELETE failure), while the group-based
+  // [[FsstRowLevelOperation]] path Spark falls back to on `false`
+  // null-pads evolved columns and rewrites identical-content duplicate
+  // instances correctly. Routing those states there turns a refusal
+  // into a working DELETE.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     asOf.isEmpty && (victimsFor(filters).isDefined ||
-      FsstRowDelete.supports(filters, tableSchema))
+      (FsstRowDelete.supports(filters, tableSchema) && columnSince.isEmpty &&
+        noDuplicateLiveInstances()))
+
+  /** Any (chunk_id, column) with more than one live instance anywhere in
+    * the table? One distributed manifest aggregate, limit-1 collect —
+    * conservative (table-level, not victim-level), which only ever
+    * routes MORE deletes to the group-based path that handles them.
+    */
+  private def noDuplicateLiveInstances(): Boolean = {
+    import org.apache.spark.sql.functions.{col, count}
+    val spark = SparkSession.active
+    new ParquetTableIO(root).manifestOpt(spark, tableName, None)
+      .groupBy(col("chunk_id"), col("column")).agg(count("*").as("n"))
+      .filter(col("n") > 1).isEmpty
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty, "cannot delete from a snapshot-pinned fsst table")
@@ -625,9 +652,36 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     // nothing may be tombstoned (stale victims from the pre-filter pass
     // would silently delete unread chunks).
     rowLevel.foreach { op =>
-      op.plannedVictims = Some(res._1.iterator.flatMap(p =>
+      val victims = res._1.iterator.flatMap(p =>
         p.colFiles.iterator.filter(_.file.nonEmpty).flatMap(cf =>
-          p.chunkIds.iterator.map(id => (id, cf.column)))).toArray.distinct)
+          p.chunkIds.iterator.map(id => (id, cf.column)))).toArray.distinct
+      // tombstones are id-granular across all gated batches, so EVERY
+      // live instance of a victim id must have been planned (and thus
+      // read + rewritten). Identical-content duplicates always prune
+      // identically and pass; bucket-mode ids can repeat with DIFFERENT
+      // content across batches, where key/zone pruning may keep one
+      // sibling and drop the other — committing would delete the
+      // never-read sibling. Distributed check, collects O(victim ids).
+      if (victims.nonEmpty) {
+        val plannedPerId: Map[Long, Int] = res._1.iterator.flatMap(_.chunkIds.iterator)
+          .toArray.groupBy(identity).view.mapValues(_.length).toMap
+        val spark = SparkSession.active
+        val io = new ParquetTableIO(root)
+        import org.apache.spark.sql.functions.{col, count, max}
+        manifestDf(spark, io)
+          .filter(col("chunk_id").isInCollection(plannedPerId.keys.toSeq))
+          .groupBy(col("chunk_id"), col("column")).agg(count("*").as("n"))
+          .groupBy(col("chunk_id")).agg(max(col("n")).as("n"))
+          .collect().foreach { r =>
+            val (id, live) = (r.getLong(0), r.getLong(1))
+            require(live <= plannedPerId.getOrElse(id, 0),
+              s"row-level $table rewrite: chunk $id has $live live instances but pruning " +
+                s"planned only ${plannedPerId.getOrElse(id, 0)} — the id-granular tombstone " +
+                "would delete the unplanned sibling(s) without rewriting them (duplicate " +
+                "chunk ids with diverging content across batches); compact the table first")
+          }
+      }
+      op.plannedVictims = Some(victims)
     }
     res
   }

@@ -109,16 +109,25 @@ private[sources] object FsstRowDelete {
     if (candRows.isEmpty) return // no chunk can match: delete is a no-op
     val victimIds = candRows.map(_.getLong(0)).distinct
 
-    // duplicate live instances: content-derived ids repeat when identical
-    // content is INSERTed twice, and tombstones address (chunk_id, column)
-    // within the gated snapshot — the rewrite would collapse both
-    // instances into one copy of the kept rows, silently deduplicating
-    // rows the user never asked to delete. Refuse loudly.
-    candRows.groupBy(r => (r.getLong(0), r.getString(1))).foreach { case ((id, c), rs) =>
-      require(rs.length == 1,
-        s"row-level DELETE: chunk $id column $c has ${rs.length} live instances " +
-          "(identical content inserted more than once) — the copy-on-write rewrite would " +
-          "collapse the duplicates; compact the table first")
+    // duplicate live instances — checked against the UNPRUNED manifest,
+    // not candRows: tombstones address (chunk_id, column) across every
+    // gated batch, so a sibling instance of a victim id living in
+    // another batch dies with it even when key/zone pruning excluded it
+    // from the candidate set (bucket-mode ids repeat with DIFFERENT
+    // content across batches — a pruned-away sibling would be deleted
+    // without ever being read). Identical-content duplicates are the
+    // same hazard via collapse. Refuse loudly either way; the check is
+    // a distributed aggregate that collects at most one violating row.
+    val dup = io.manifestSnapshot(spark, table, committed)
+      .filter(col("chunk_id").isInCollection(victimIds.toIndexedSeq))
+      .groupBy(col("chunk_id"), col("column")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    dup.headOption.foreach { r =>
+      throw new IllegalStateException(
+        s"row-level DELETE: chunk ${r.getLong(0)} column '${r.getString(1)}' has " +
+          s"${r.getLong(2)} live instances (duplicate chunk ids across batches) — the " +
+          "copy-on-write rewrite's id-granular tombstone would also delete the instance(s) " +
+          "it never read; compact the table first")
     }
 
     // schema-generation uniformity: a victim chunk missing one of the

@@ -770,13 +770,16 @@ class DataSourceSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.pages").count() == n - nKill)
   }
 
-  test("row-level DELETE refuses duplicate live chunk instances loudly") {
+  test("DELETE on duplicate live chunk instances routes to the group rewrite") {
     val root = freshRoot()
     val io = new ParquetTableIO(root)
     val df = pagesDf.orderBy("url").coalesce(1)
     // identical content twice: content-derived chunk ids collide, so the
     // table legitimately holds duplicate rows under duplicate (chunk_id,
-    // column) instances — a copy-on-write rewrite would collapse them
+    // column) instances. canDeleteWhere must refuse the FsstRowDelete
+    // tier here (its id-granular rewrite cannot represent the state) and
+    // let the group-based row-level path handle it — which plans BOTH
+    // instances and rewrites both copies.
     io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
     io.writeChunks(EncodePipeline.encodeColumnsLocal(df, col("url"), pageSpecs, 8L << 10), "pages")
     val cat = s"fsst_dupdel_${math.abs(root.hashCode)}"
@@ -785,15 +788,41 @@ class DataSourceSpec extends AnyFunSuite {
     val n = df.count()
     assert(spark.table(s"$cat.pages").count() == 2 * n)
     val maxTs = df.agg(max("ts")).collect()(0).getLong(0)
+    val nKill = df.filter(col("ts") < maxTs).count()
+    spark.sql(s"DELETE FROM $cat.pages WHERE ts < $maxTs")
+    val t = spark.table(s"$cat.pages")
+    assert(t.count() == 2 * (n - nKill), "both duplicate copies must lose the matching rows")
+    assert(t.filter(col("ts") < maxTs).count() == 0)
+  }
+
+  test("row-level rewrite refuses a pruned-away sibling of a duplicate chunk id") {
+    // bucket-mode ids: the same chunk id carries DIFFERENT content in two
+    // batches. A zone-pruned UPDATE plans only the matching sibling; the
+    // id-granular tombstone would also kill the unplanned one — the plan
+    // must refuse instead of silently deleting it.
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    import spark.implicits._
+    def kv(lo: Int, hi: Int) = (lo until hi)
+      .map(i => fsstspark.pipeline.KV(f"k$i%05d", f"v$i%05d".getBytes("UTF-8"))).toDS()
+    // both batches use chunk id 0 (explicit bucket expr) with disjoint keys
+    io.writeChunks(EncodePipeline.encodeBytes(kv(0, 100), "text", lit(0L)), "docs")
+    io.writeChunks(EncodePipeline.encodeBytes(kv(100, 200), "text", lit(0L)), "docs")
+    val cat = s"fsst_sib_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.stringColumns.docs", "text")
+    assert(spark.table(s"$cat.docs").count() == 200)
+    // key predicate prunes batch2's instance (keys k00100+), keeps batch1's
     val ex = intercept[Throwable] {
-      spark.sql(s"DELETE FROM $cat.pages WHERE ts < $maxTs")
+      spark.sql(s"UPDATE $cat.docs SET text = 'x' WHERE key < 'k00050'")
     }
     val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(msgs.contains("live instances"),
-      s"expected the duplicate-instance refusal, got:\n$msgs")
-    // the refusal left the table untouched — no partial rewrite
-    assert(spark.table(s"$cat.pages").count() == 2 * n)
+    assert(msgs.contains("live instances") || msgs.contains("sibling"),
+      s"expected the diverging-sibling refusal, got:\n$msgs")
+    // the refusal left the table untouched
+    assert(spark.table(s"$cat.docs").count() == 200)
   }
 
   test("SQL UPDATE: copy-on-write rewrite, untouched rows intact, time travel") {
