@@ -89,7 +89,14 @@ final class FsstRowLevelOperation(root: String, table: String, tableSchema: Stru
       s"row-level $cmd write schema ${ws.simpleString} does not match fsst table schema " +
         tableSchema.simpleString)
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // same write-side key clustering as plain INSERT
+        // ([[FsstWriteOrdering]]): the rewrite's output chunks keep
+        // tight key ranges, so a rewritten table prunes as well as a
+        // freshly-encoded one
+        override def requiredDistribution() = FsstWriteOrdering.distribution
+        override def requiredOrdering() = FsstWriteOrdering.ordering
         // victims resolve AT COMMIT (the scan has certainly planned by
         // then; write builders can be constructed before scan planning).
         // None when the scan planned zero groups: a MERGE whose target

@@ -78,11 +78,32 @@ final class FsstWriteBuilder(root: String, table: String, tableSchema: StructTyp
       tableSchema.fields.map(f => (f.name, f.dataType))),
       s"write schema ${ws.simpleString} does not match fsst table schema " +
         tableSchema.simpleString)
-    new Write {
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def requiredDistribution() = FsstWriteOrdering.distribution
+      override def requiredOrdering() = FsstWriteOrdering.ordering
       override def toBatch: BatchWrite =
         new FsstBatchWrite(root, table, tableSchema, () => overwriteVictims)
     }
   }
+}
+
+/** Write-side clustering contract, Iceberg-style: ask Spark to sort each
+  * task's rows by key BEFORE they reach the writer (ordering only — the
+  * distribution stays unspecified, so NO shuffle is added; the sort is a
+  * per-partition SortExec). The writer cuts chunks from the sorted
+  * stream, so every chunk written through SQL gets a TIGHT, per-task
+  * non-overlapping [min_key, max_key] — which is what the manifest's
+  * key-range pruning (point lookups, range scans, DML victim planning)
+  * feeds on at 100 TB. Without it, arrival-order buffering gives every
+  * chunk near-full-table key ranges and pruning degenerates to
+  * scan-everything.
+  */
+private[sources] object FsstWriteOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+  val distribution: Distribution = Distributions.unspecified()
+  val ordering: Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
 }
 
 private[sources] final case class FsstWriterCommit(

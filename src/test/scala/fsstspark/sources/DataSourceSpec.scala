@@ -478,6 +478,34 @@ class DataSourceSpec extends AnyFunSuite {
     assert(eRen.getMessage.toLowerCase.contains("does not support"), s"got: ${eRen.getMessage}")
   }
 
+  test("DSv2 write clusters by key: shuffled input lands as non-overlapping chunks") {
+    val root = freshRoot()
+    val io = new ParquetTableIO(root)
+    val cat = s"fsst_ord_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.docs (key STRING, n BIGINT, pad STRING) USING fsst")
+    import spark.implicits._
+    // deliberately scrambled key order, one partition (so every chunk is
+    // cut from one task's stream): the write's required ordering must
+    // sort before the writer, or chunk ranges overlap near-fully. Values
+    // are fat enough that the writer's 16 MB buffer cuts several chunks.
+    val pad = "x" * 12000
+    val rows = (0 until 4000).map(i => (f"k${(i * 2654435761L) % 4000}%06d", i.toLong, pad))
+    rows.toDF("key", "n", "pad").repartition(1).writeTo(s"$cat.docs").append()
+    val m = io.manifest(spark, "docs").filter(col("column") === "n")
+      .select("min_key", "max_key").orderBy("min_key").collect()
+    assert(m.length >= 2, s"fixture must land several chunks, got ${m.length}")
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getString(1) < b.getString(0),
+        s"chunks overlap: [${a.getString(0)},${a.getString(1)}] then " +
+          s"[${b.getString(0)},${b.getString(1)}] — the write-side key ordering is not applied")
+    }
+    // and the data round-trips completely
+    assert(spark.table(s"$cat.docs").agg(sum("n")).collect()(0).getLong(0)
+      == rows.map(_._2).sum)
+  }
+
   test("DSv2 write path: INSERT INTO and writeTo append land as committed catalog batches") {
     val root = freshRoot()
     val io = new ParquetTableIO(root)
