@@ -767,11 +767,8 @@ final class ParquetTableIO(root: String) extends TableIO {
     * distributed metadata reader can apply the batch-scoped filter
     * per-row without a join.
     */
-  def effectiveTombstones(spark: SparkSession, table: String): Array[(Long, String, String)] = {
-    import spark.implicits._
-    tombstones(spark, table, committedBatches(spark, table))
-      .as[(Long, String, String)].collect()
-  }
+  def effectiveTombstones(spark: SparkSession, table: String): Array[(Long, String, String)] =
+    effectiveTombstonesFor(spark, table, committedBatches(spark, table))
 
   /** [[effectiveTombstones]] under a caller-pinned committed snapshot —
     * for readers that must see ONE consistent view across a separately

@@ -145,9 +145,15 @@ object FsstDataSource {
     // a DDL-declared schema is AUTHORITATIVE: a created-but-still-empty
     // table resolves (so INSERT INTO can bootstrap it), and declared
     // string columns stay strings after data lands (manifest inference
-    // would surface them as binary)
+    // would surface them as binary).
+    // Read order mirrors alterTable's WRITE order inverted: the ALTER
+    // writes watermark-then-schema, so reading schema-then-watermark
+    // makes a concurrent resolve land on the harmless side (old schema +
+    // new stray watermark = inert) instead of the bricking side (new
+    // column declared with no watermark ⇒ every pre-ALTER scan fails).
+    val declaredSchema = FsstCatalog.readDeclaredSchema(spark, root, table)
     val columnSince = FsstCatalog.readColumnSince(spark, root, table)
-    FsstCatalog.readDeclaredSchema(spark, root, table) match {
+    declaredSchema match {
       case Some(declared) =>
         o.asOf.foreach { b =>
           require(io.committedBatchIds(spark, table).contains(b),
@@ -324,11 +330,11 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     * routes MORE deletes to the group-based path that handles them.
     */
   private def noDuplicateLiveInstances(): Boolean = {
-    import org.apache.spark.sql.functions.{col, count}
+    import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
-    new ParquetTableIO(root).manifestOpt(spark, tableName, None)
-      .groupBy(col("chunk_id"), col("column")).agg(count("*").as("n"))
-      .filter(col("n") > 1).isEmpty
+    FsstScan.liveInstanceCounts(
+        new ParquetTableIO(root).manifestOpt(spark, tableName, None), None)
+      .filter(col("live") > 1).isEmpty
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -661,25 +667,32 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       // identically and pass; bucket-mode ids can repeat with DIFFERENT
       // content across batches, where key/zone pruning may keep one
       // sibling and drop the other — committing would delete the
-      // never-read sibling. Distributed check, collects O(victim ids).
-      if (victims.nonEmpty) {
+      // never-read sibling. Skipped when nothing pruned (no pushed
+      // filters, no runtime ids ⇒ every live instance is planned by
+      // construction — the unfiltered MERGE pre-pass pays nothing);
+      // otherwise a distributed live-vs-planned join that collects at
+      // most the one violating row.
+      if (victims.nonEmpty && (filters.nonEmpty || runtimeChunkIds.isDefined)) {
         val plannedPerId: Map[Long, Int] = res._1.iterator.flatMap(_.chunkIds.iterator)
           .toArray.groupBy(identity).view.mapValues(_.length).toMap
         val spark = SparkSession.active
         val io = new ParquetTableIO(root)
-        import org.apache.spark.sql.functions.{col, count, max}
-        manifestDf(spark, io)
-          .filter(col("chunk_id").isInCollection(plannedPerId.keys.toSeq))
-          .groupBy(col("chunk_id"), col("column")).agg(count("*").as("n"))
-          .groupBy(col("chunk_id")).agg(max(col("n")).as("n"))
-          .collect().foreach { r =>
-            val (id, live) = (r.getLong(0), r.getLong(1))
-            require(live <= plannedPerId.getOrElse(id, 0),
-              s"row-level $table rewrite: chunk $id has $live live instances but pruning " +
-                s"planned only ${plannedPerId.getOrElse(id, 0)} — the id-granular tombstone " +
-                "would delete the unplanned sibling(s) without rewriting them (duplicate " +
-                "chunk ids with diverging content across batches); compact the table first")
-          }
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val plannedDf = plannedPerId.toSeq.toDF("chunk_id", "planned")
+        val bad = FsstScan.liveInstanceCounts(manifestDf(spark, io),
+            Some(plannedPerId.keys.toSeq))
+          .join(plannedDf, "chunk_id")
+          .filter(col("live") > col("planned"))
+          .limit(1).collect()
+        bad.headOption.foreach { r =>
+          throw new IllegalStateException(
+            s"row-level $table rewrite: chunk ${r.getLong(0)} has ${r.getLong(1)} live " +
+              s"instances but pruning planned only ${r.getInt(2)} — the id-granular " +
+              "tombstone would delete the unplanned sibling(s) without rewriting them " +
+              "(duplicate chunk ids with diverging content across batches); compact the " +
+              "table first")
+        }
       }
       op.plannedVictims = Some(victims)
     }
@@ -897,6 +910,32 @@ private[sources] object FsstScan {
     * result, no giant expression in the parquet reader.
     */
   val RuntimeIdPushdownLimit = 10000
+
+  /** Per-chunk-id MAX live-instance count over any column, scoped to
+    * `ids` — the shared core of every duplicate-instance guard (the
+    * row-level sibling check, FsstRowDelete's refusal, and
+    * `canDeleteWhere`'s table-level probe). Output columns:
+    * (`chunk_id`, `live`). The scoping never builds an unbounded In
+    * expression: small id sets push as a predicate, large ones join
+    * against a parallelized id frame; `None` means the whole manifest.
+    * Callers filter and `limit(1)` BEFORE collecting, so the driver
+    * only ever sees violators.
+    */
+  def liveInstanceCounts(m: org.apache.spark.sql.DataFrame,
+      ids: Option[Seq[Long]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, max}
+    val scoped = ids match {
+      case Some(s) if s.size <= RuntimeIdPushdownLimit =>
+        m.filter(col("chunk_id").isInCollection(s))
+      case Some(s) =>
+        val spark = m.sparkSession
+        import spark.implicits._
+        m.join(s.toDF("chunk_id"), "chunk_id")
+      case None => m
+    }
+    scoped.groupBy(col("chunk_id"), col("column")).agg(count("*").as("n"))
+      .groupBy(col("chunk_id")).agg(max(col("n")).as("live"))
+  }
 
   /** `required` minus the metadata columns — the STORED fields a plan
     * fetches from disk (metadata values are emitted by the reader from

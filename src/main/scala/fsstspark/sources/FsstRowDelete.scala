@@ -116,18 +116,17 @@ private[sources] object FsstRowDelete {
     // from the candidate set (bucket-mode ids repeat with DIFFERENT
     // content across batches — a pruned-away sibling would be deleted
     // without ever being read). Identical-content duplicates are the
-    // same hazard via collapse. Refuse loudly either way; the check is
-    // a distributed aggregate that collects at most one violating row.
-    val dup = io.manifestSnapshot(spark, table, committed)
-      .filter(col("chunk_id").isInCollection(victimIds.toIndexedSeq))
-      .groupBy(col("chunk_id"), col("column")).count()
-      .filter(col("count") > 1).limit(1).collect()
+    // same hazard via collapse. Refuse loudly either way; the shared
+    // scoped-count helper never builds an unbounded In and the collect
+    // sees at most one violating row.
+    val dup = FsstScan.liveInstanceCounts(
+        io.manifestSnapshot(spark, table, committed), Some(victimIds.toIndexedSeq))
+      .filter(col("live") > 1).limit(1).collect()
     dup.headOption.foreach { r =>
       throw new IllegalStateException(
-        s"row-level DELETE: chunk ${r.getLong(0)} column '${r.getString(1)}' has " +
-          s"${r.getLong(2)} live instances (duplicate chunk ids across batches) — the " +
-          "copy-on-write rewrite's id-granular tombstone would also delete the instance(s) " +
-          "it never read; compact the table first")
+        s"row-level DELETE: chunk ${r.getLong(0)} has ${r.getLong(1)} live instances " +
+          "(duplicate chunk ids across batches) — the copy-on-write rewrite's id-granular " +
+          "tombstone would also delete the instance(s) it never read; compact the table first")
     }
 
     // schema-generation uniformity: a victim chunk missing one of the
