@@ -1099,4 +1099,23 @@ class DataSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("chunk-aligned"), s"got: ${e.getMessage}")
   }
+
+  test("liveInstanceCounts: In-pushdown, join, and whole-manifest branches agree") {
+    import spark.implicits._
+    // manifest-shaped frame: chunk 1 is a duplicate instance (column 'a'
+    // twice = two live siblings), chunk 2 is clean (two DIFFERENT columns
+    // = one instance), chunk 3 is clean single-column
+    val m = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("chunk_id", "column")
+    def counts(ids: Option[Seq[Long]]): Map[Long, Long] =
+      FsstScan.liveInstanceCounts(m, ids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(None) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // small id set → pushed In predicate; scoping drops unlisted chunks
+    assert(counts(Some(Seq(1L, 3L))) == Map(1L -> 2L, 3L -> 1L))
+    // id set past RuntimeIdPushdownLimit → the join branch; same answer
+    val big = (1L to (FsstScan.RuntimeIdPushdownLimit + 5L)).toSeq
+    assert(big.size > FsstScan.RuntimeIdPushdownLimit)
+    assert(counts(Some(big)) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }
