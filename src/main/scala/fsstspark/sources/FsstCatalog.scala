@@ -458,19 +458,10 @@ object FsstCatalog {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def readDeclaredSchema(spark: SparkSession, root: String, table: String): Option[StructType] = {
-    val p = schemaPath(root, table)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType])
-      } finally in.close()
-    }
-  }
+  def readDeclaredSchema(spark: SparkSession, root: String, table: String): Option[StructType] =
+    readSidecar(spark, schemaPath(root, table),
+      s => scala.util.Try(DataType.fromJson(s).isInstanceOf[StructType]).getOrElse(false))
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
 
   /** Temp-then-rename so a crash mid-write cannot leave a truncated
     * sidecar that breaks every later resolve of the table.
@@ -488,25 +479,19 @@ object FsstCatalog {
   private def sincePath(root: String, table: String) =
     new org.apache.hadoop.fs.Path(s"$root/$table/_schema_since.tsv")
 
-  def readColumnSince(spark: SparkSession, root: String, table: String): Map[String, String] = {
-    val p = sincePath(root, table)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, "UTF-8").split('\n').iterator
-          .map(_.trim).filter(_.nonEmpty)
-          .map { line =>
-            val cut = line.indexOf('\t')
-            require(cut > 0, s"corrupt schema-evolution sidecar line: '$line'")
-            (line.substring(0, cut), line.substring(cut + 1))
-          }.toMap
-      } finally in.close()
-    }
-  }
+  def readColumnSince(spark: SparkSession, root: String, table: String): Map[String, String] =
+    readSidecar(spark, sincePath(root, table),
+      s => scala.util.Try { parseSince(s); true }.getOrElse(false))
+      .map(parseSince).getOrElse(Map.empty)
+
+  private def parseSince(content: String): Map[String, String] =
+    content.split('\n').iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val cut = line.indexOf('\t')
+        require(cut > 0, s"corrupt schema-evolution sidecar line: '$line'")
+        (line.substring(0, cut), line.substring(cut + 1))
+      }.toMap
 
   def writeColumnSince(spark: SparkSession, root: String, table: String,
       since: Map[String, String]): Unit =
@@ -514,13 +499,58 @@ object FsstCatalog {
       writeSidecar(spark, sincePath(root, table),
         since.toSeq.sorted.map { case (c, w) => s"$c\t$w" }.mkString("\n"))
 
+  private def tmpPath(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+
+  /** Sidecar read with torn-update recovery. The committed file wins and
+    * is returned UNVALIDATED (a corrupt committed sidecar must stay a
+    * loud parse failure at the caller). When it is MISSING but a tmp from
+    * [[writeSidecar]] exists, the update was torn mid-swap on a
+    * filesystem without atomic overwrite-rename: the tmp was fully
+    * written and closed before the swap started, so if `valid` accepts it
+    * the reader promotes it to the committed name and proceeds — a
+    * crashed second ALTER can no longer strand the table with a declared
+    * column and no watermark. An INVALID tmp (the write itself died
+    * mid-stream, so no committed state was ever at risk) reads as absent.
+    * Promotion races are benign: rename failure just means another reader
+    * won; the surviving committed file has the same content.
+    */
+  private def readSidecar(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+      valid: String => Boolean): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slurp(f: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(f)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    }
+    if (fs.exists(p)) Some(slurp(p))
+    else {
+      val tmp = tmpPath(p)
+      if (!fs.exists(tmp)) None
+      else scala.util.Try(slurp(tmp)).toOption.filter(valid) match {
+        case some @ Some(_) => fs.rename(tmp, p); some
+        case None => None
+      }
+    }
+  }
+
   private def writeSidecar(spark: SparkSession, p: org.apache.hadoop.fs.Path,
       content: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = tmpPath(p)
+    val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"sidecar rename $tmp -> $p failed")
+    // overwrite-rename via FileContext: atomic on HDFS; filesystems that
+    // implement it as delete-then-rename keep a residual window, which
+    // [[readSidecar]]'s tmp promotion recovers (the tmp is complete by
+    // construction here — the swap only starts after close succeeds)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

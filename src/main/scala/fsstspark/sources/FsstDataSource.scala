@@ -328,13 +328,22 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
     * the table? One distributed manifest aggregate, limit-1 collect —
     * conservative (table-level, not victim-level), which only ever
     * routes MORE deletes to the group-based path that handles them.
+    * Memoized per Table instance under the same snapshot-at-plan
+    * contract as [[cachedDelete]]: Spark probes `canDeleteWhere` twice
+    * per accepted DELETE (the metadata-only optimizer rule, then the
+    * strategy), and the manifest aggregate must not run twice —
+    * [[deleteWhere]] clears it with the victim cache.
     */
-  private def noDuplicateLiveInstances(): Boolean = {
+  @volatile private var cachedNoDup: Option[Boolean] = None
+
+  private def noDuplicateLiveInstances(): Boolean = cachedNoDup.getOrElse {
     import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
-    FsstScan.liveInstanceCounts(
+    val r = FsstScan.liveInstanceCounts(
         new ParquetTableIO(root).manifestOpt(spark, tableName, None), None)
       .filter(col("live") > 1).isEmpty
+    cachedNoDup = Some(r)
+    r
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -352,9 +361,10 @@ final class FsstTable(root: String, tableName: String, tableSchema: StructType,
         // connector, time travel) stays consistent
         FsstRowDelete.deleteRows(spark, root, tableName, tableSchema, filters)
     }
-    // the plan-time answer is now stale: a reused Table instance must
+    // the plan-time answers are now stale: a reused Table instance must
     // recompute for any further DELETE with the same filters
     cachedDelete = None
+    cachedNoDup = None
   }
 }
 
@@ -920,6 +930,18 @@ private[sources] object FsstScan {
     * against a parallelized id frame; `None` means the whole manifest.
     * Callers filter and `limit(1)` BEFORE collecting, so the driver
     * only ever sees violators.
+    *
+    * Design note: these guards exist because tombstones address a chunk
+    * by id (plus a batch GATE), not by instance — a rewrite of one live
+    * instance of a duplicated id would also kill its unrewritten
+    * sibling. The root-cause alternative is instance-addressed
+    * tombstones carrying the victim's own batch, which would let
+    * row-level DML operate on duplicate-id tables and delete all three
+    * guards; it touches the tombstone schema, every read path's filter,
+    * vacuum, and compaction, and duplicate ids with DIVERGING content
+    * only arise on hash-bucket-mode append tables (SQL-written ids are
+    * salted unique, local-mode ids are content-derived), so the loud
+    * refusal + "compact first" answer is the deliberate trade.
     */
   def liveInstanceCounts(m: org.apache.spark.sql.DataFrame,
       ids: Option[Seq[Long]]): org.apache.spark.sql.DataFrame = {

@@ -1118,4 +1118,38 @@ class DataSourceSpec extends AnyFunSuite {
     assert(big.size > FsstScan.RuntimeIdPushdownLimit)
     assert(counts(Some(big)) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("a torn sidecar swap recovers from the complete tmp; a torn tmp write reads as absent") {
+    val root = freshRoot()
+    val cat = s"fsst_torn_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (key STRING, v BIGINT) USING fsst")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c1 BIGINT")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('c', 3, 30)")
+    // simulate a second ALTER crashing mid-swap on a filesystem whose
+    // overwrite-rename is delete-then-rename: the committed watermark
+    // file is gone; the fully-written tmp (old columns + the new one,
+    // whose schema update never landed → inert) remains
+    import java.nio.file.{Files, Paths}
+    val since = Paths.get(root, "t", "_schema_since.tsv")
+    val tmp = Paths.get(root, "t", "._schema_since.tsv.tmp")
+    val committed = new String(Files.readAllBytes(since), "UTF-8")
+    Files.write(tmp, (committed + "\nc2\tzz_undeclared").getBytes("UTF-8"))
+    Files.delete(since)
+    // the read recovers c1's watermark from the tmp and promotes it —
+    // pre-ALTER scans keep null-padding instead of failing ("expected
+    // exactly one manifest row for column 'c1'")
+    assert(FsstCatalog.readColumnSince(spark, root, "t").contains("c1"))
+    assert(Files.exists(since), "recovery must promote the tmp")
+    assert(spark.table(s"$cat.t").count() == 3)
+    // an INVALID tmp with no committed file (the tmp write itself died
+    // mid-stream — no committed state was ever at risk) reads as absent
+    // and is NOT promoted
+    Files.delete(since)
+    Files.write(tmp, "c1".getBytes("UTF-8")) // no tab separator
+    assert(FsstCatalog.readColumnSince(spark, root, "t").isEmpty)
+    assert(!Files.exists(since))
+  }
 }
