@@ -1315,6 +1315,39 @@ object Queries {
               min(key) AS min_key FROM $cat.docs""")
   }
 
+  /** `ALTER TABLE DROP COLUMN`: the column leaves the schema, pre-drop
+    * batches keep answering (their residue files are never anchored),
+    * post-drop INSERTs land without it, and re-ADDing the name is
+    * refused while residue is live (compaction would resurrect the
+    * dropped data). Audited against `documents`.
+    */
+  def dsv2SqlDrop(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("dsv2-drop-q").toString
+    val cat = s"fsst_dropq_${math.abs(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    timedFixture("dsv2_sql_drop") {
+      s.sql(s"CREATE TABLE $cat.docs (key STRING, text STRING, n BIGINT) USING fsst")
+      val src = documents(s, dir).select(
+        col("doc_id"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        col("text"), col("n_chars").as("n"))
+      src.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("fsst_drop_src_a")
+      s.sql(s"INSERT INTO $cat.docs SELECT key, text, n FROM fsst_drop_src_a")
+      src.filter(col("doc_id") % 2 =!= 0).createOrReplaceTempView("fsst_drop_src_b")
+    }
+    s.sql(s"ALTER TABLE $cat.docs DROP COLUMN text")
+    s.sql(s"INSERT INTO $cat.docs SELECT key, n FROM fsst_drop_src_b")
+    val refused = // residue guard: the name cannot come back while files are live
+      try { s.sql(s"ALTER TABLE $cat.docs ADD COLUMN text STRING"); 0 }
+      catch { case e: Exception if e.getMessage.contains("previously dropped") => 1 }
+    val width = s.table(s"$cat.docs").schema.fields.length
+    s.sql(s"""SELECT count(*) AS n_rows, sum(n) AS sum_n,
+              min(key) AS min_key, max(key) AS max_key FROM $cat.docs""")
+      .withColumn("n_cols", lit(width))
+      .withColumn("readd_refused", lit(refused))
+  }
+
   /** `INSERT OVERWRITE` as ONE snapshot: the full-table overwrite
     * tombstones the old chunks gated on the same batch the new rows
     * commit in, so time travel to the pre-overwrite snapshot still

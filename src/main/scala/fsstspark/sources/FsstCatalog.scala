@@ -226,7 +226,11 @@ final class FsstCatalog extends TableCatalog {
     // declared schema, or bake the inferred one in on first evolution
     var schema = FsstCatalog.readDeclaredSchema(spark, root, ident.name)
       .getOrElse(FsstDataSource.resolve(tableOptions(ident.name, None)).schema())
-    var since = FsstCatalog.readColumnSince(spark, root, ident.name)
+    val sinceBefore = FsstCatalog.readColumnSince(spark, root, ident.name)
+    var since = sinceBefore
+    def manifestEmpty: Boolean =
+      !io.tableExists(spark, ident.name) ||
+        io.manifestOpt(spark, ident.name, None).isEmpty
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -240,19 +244,61 @@ final class FsstCatalog extends TableCatalog {
           s"added column '$colName' must be nullable — existing rows read NULL")
         require(Seq(StringType, BinaryType, LongType, DoubleType).contains(add.dataType),
           s"column $colName: fsst stores STRING/BINARY/BIGINT/DOUBLE, got ${add.dataType.sql}")
+        // a name with LIVE manifest rows is residue from a dropped
+        // column: the watermark would null-pad pre-ALTER batches on the
+        // connector path, but compaction re-clusters old chunks into
+        // post-watermark batches and would RESURRECT the dropped data.
+        // Refuse loudly instead of owning that hazard.
+        require(!io.tableExists(spark, ident.name) ||
+            io.manifestOpt(spark, ident.name, None)
+              .filter(org.apache.spark.sql.functions.col("column") === colName).isEmpty,
+          s"column '$colName' was previously dropped but its data files are still " +
+            "live — compact the table to purge them, or use a different name")
         schema = schema.add(StructField(colName, add.dataType, nullable = true))
         // watermark sorts after every committed batch: exactly the
         // already-committed batches null-pad; the next INSERT carries it
         since = since + (colName -> io.newWatermark(spark, ident.name))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"fsst tables have no nested columns: ${del.fieldNames.mkString(".")}")
+        val colName = del.fieldNames()(0)
+        require(colName != "key", "cannot drop the key column")
+        if (!schema.fieldNames.contains(colName)) {
+          if (!del.ifExists)
+            throw new IllegalArgumentException(s"column '$colName' does not exist")
+        } else {
+          val remaining = schema.fields.filterNot(_.name == colName)
+          val remainingValues = remaining.map(_.name).filter(_ != "key")
+          val sinceAfter = since - colName
+          // key-only scans and COUNT pushdown anchor on a column present
+          // in EVERY batch; dropping the last such column of a non-empty
+          // table would make batches predating the evolved watermarks
+          // uncountable. Compaction re-clusters everything into fresh
+          // (post-watermark) batches, after which the drop is legal.
+          require(
+            remainingValues.exists(c => !sinceAfter.contains(c)) || manifestEmpty,
+            s"cannot drop '$colName': every remaining value column was added by " +
+              "ALTER after data landed, so batches predating their watermarks " +
+              "could no longer be planned — compact the table first")
+          schema = StructType(remaining)
+          since = sinceAfter
+        }
       case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
-    // watermarks FIRST: a stray watermark for a column not yet in the
-    // declared schema is inert, but a declared column with no watermark
-    // makes every scan of pre-ALTER batches fail ("expected exactly one
-    // manifest row") — a crash between the two writes must land on the
-    // harmless side
-    FsstCatalog.writeColumnSince(spark, root, ident.name, since)
+    // Write order (each write is an atomic swap with torn recovery, this
+    // ordering makes even the unrecovered windows inert): ADD's brick
+    // side is a declared column with NO watermark (pre-ALTER scans fail
+    // "expected exactly one manifest row"), DROP's is a removed
+    // watermark with the column STILL declared. So: watermarks as the
+    // UNION (adds in, drops retained) first, then the schema, then the
+    // final watermarks (drops removed). A crash at any point leaves
+    // either a stray watermark for an undeclared column (inert) or the
+    // old consistent state.
+    val union = sinceBefore ++ since
+    FsstCatalog.writeColumnSince(spark, root, ident.name, union)
     FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
+    if (union != since)
+      FsstCatalog.writeColumnSince(spark, root, ident.name, since)
     loadTable(ident)
   }
 
@@ -494,10 +540,16 @@ object FsstCatalog {
       }.toMap
 
   def writeColumnSince(spark: SparkSession, root: String, table: String,
-      since: Map[String, String]): Unit =
-    if (since.nonEmpty)
-      writeSidecar(spark, sincePath(root, table),
+      since: Map[String, String]): Unit = {
+    val p = sincePath(root, table)
+    // never CREATE a sidecar for an empty map (unevolved tables carry no
+    // watermark file), but a DROP that empties the map must OVERWRITE
+    // the existing file (empty content reads as Map.empty)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (since.nonEmpty || exists)
+      writeSidecar(spark, p,
         since.toSeq.sorted.map { case (c, w) => s"$c\t$w" }.mkString("\n"))
+  }
 
   private def tmpPath(p: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")

@@ -462,6 +462,16 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     if (specs.exists(_.isEmpty)) None
     else {
       val flat = specs.map(_.get)
+      // COUNT(*) and key MIN/MAX fold over an ANCHOR column's manifest
+      // rows, which must exist in every batch — refuse when no
+      // non-evolved value column remains (key-only declared tables, or
+      // every original column dropped with only post-ALTER columns left)
+      val needsAnchor = flat.exists {
+        case CountStarSpec => true
+        case MinMaxSpec(c, _, _) => c == "key"
+      }
+      if (needsAnchor &&
+          !tableSchema.fields.drop(1).exists(f => !columnSince.contains(f.name))) return None
       val statCols = flat.collect { case MinMaxSpec(c, _, _) if c != "key" => c }.distinct
       if (statCols.isEmpty || statsComplete(statCols.toIndexedSeq)) Some(flat) else None
     }
@@ -608,7 +618,12 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
-    val anchor = tableSchema.fields(1).name
+    // COUNT/key-bound folds ride a column present in EVERY batch: the
+    // first non-evolved value column (aggSpecs refuses the pushdown when
+    // none exists)
+    val anchor = tableSchema.fields.iterator.drop(1).map(_.name)
+      .find(c => !columnSince.contains(c))
+      .getOrElse(tableSchema.fields(1).name)
     val aggExprs = specs.zipWithIndex.map {
       case (CountStarSpec, i) =>
         coalesce(sum(when(col("column") === anchor, col("n_rows"))), lit(0L)).as(s"a$i")
@@ -741,12 +756,18 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       .fold(manifestDf(spark, io))(ids =>
         manifestDf(spark, io)
           .filter(org.apache.spark.sql.functions.col("chunk_id").isInCollection(ids)))
-    if (valueFields.isEmpty && statCols.isEmpty && !stored.fieldNames.contains("key")) {
+    // a counting/anchor column must be present in EVERY batch: declared
+    // (dropped-column residue rows are absent from post-drop batches)
+    // and non-evolved (added columns are absent from pre-watermark ones)
+    val everyBatchCols =
+      tableSchema.fields.iterator.drop(1).map(_.name).filter(c => !columnSince.contains(c)).toSeq
+    if (valueFields.isEmpty && statCols.isEmpty && !stored.fieldNames.contains("key") &&
+        everyBatchCols.nonEmpty) {
       // empty projection, no value filters: count rows straight off the
       // manifest (any single column counts each chunk's rows exactly once);
       // the key predicate is pushed into the manifest parquet scan, the
       // driver-side keySurvives is the idempotent residual
-      val anchor = tableSchema.fields(1).name
+      val anchor = everyBatchCols.head
       val rows = m
         .filter(org.apache.spark.sql.functions.col("column") === anchor)
         .filter(FsstScan.keyPruneCond(filters))
@@ -759,16 +780,14 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       }.toArray
       (parts, rows.map(_.getLong(1)).sum, 0L)
     } else {
-      // key-only scans anchor on the globally smallest stored column (by
-      // manifest bytes) — resolved with a distributed aggregate, not by
-      // collecting the manifest to look. Columns ADDED by schema
-      // evolution are excluded from anchoring (pre-evolution batches
-      // lack them), and a projection of ONLY evolved columns rides a
-      // base column so pre-evolution chunks still surface (null-padded).
+      // key-only scans anchor on the globally smallest every-batch
+      // column (by manifest bytes) — resolved with a distributed
+      // aggregate, not by collecting the manifest to look. A projection
+      // of ONLY evolved columns rides a base column so pre-evolution
+      // chunks still surface (null-padded).
       val evolved = columnSince.keySet
       def baseAnchor: Option[String] = FsstScan.smallestColumn(
-        if (evolved.isEmpty) m
-        else m.filter(!org.apache.spark.sql.functions.col("column").isin(evolved.toSeq: _*)))
+        m.filter(org.apache.spark.sql.functions.col("column").isin(everyBatchCols: _*)))
       val (fetch, readValues) =
         if (valueFields.nonEmpty)
           (if (valueFields.forall(evolved.contains)) valueFields ++ baseAnchor.toSeq
@@ -1017,8 +1036,12 @@ private[sources] object FsstScan {
     val evolved = columnSince.keySet
     val (fetch, readValues) = fetchOverride.getOrElse {
       def anchor: Option[String] = {
-        val rows = if (evolved.isEmpty) mAll
-          else mAll.filterNot(r => evolved.contains(r.getString(1)))
+        // candidates must be present in EVERY batch: declared (a DROPPED
+        // column's residue rows are absent from post-drop batches) and
+        // non-evolved (an added column is absent from pre-watermark ones)
+        val schemaNames = tableSchema.fieldNames.toSet
+        val rows = mAll.filter(r => schemaNames.contains(r.getString(1)) &&
+          !evolved.contains(r.getString(1)))
         if (rows.isEmpty) None
         else Some(rows.groupBy(_.getString(1)).view
           .mapValues(_.map(_.getLong(4)).sum).minBy(t => (t._2, t._1))._1)

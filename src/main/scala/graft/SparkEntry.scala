@@ -78,6 +78,7 @@ object SparkEntry {
     "dsv2_sql_update" -> (Queries.dsv2SqlUpdate _),
     "dsv2_sql_merge" -> (Queries.dsv2SqlMerge _),
     "dsv2_sql_alter" -> (Queries.dsv2SqlAlter _),
+    "dsv2_sql_drop" -> (Queries.dsv2SqlDrop _),
     "dsv2_overwrite" -> (Queries.dsv2Overwrite _),
     "dsv2_meta_tables" -> (Queries.dsv2MetaTables _),
     "q_key_range_pushdown" -> (Queries.qKeyRangePushdown _),
@@ -241,6 +242,15 @@ object SparkEntry {
          CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars END) AS BIGINT) AS sum_n,
          CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
          min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key
+         FROM documents""",
+    // DROP COLUMN text: all rows still counted across both generations,
+    // schema is (key, n), re-ADD of the residue name refused
+    "dsv2_sql_drop" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS sum_n,
+         min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
+         max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key,
+         CAST(2 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS readd_refused
          FROM documents""",
     // INSERT OVERWRITE with n > 500, n doubled; pre-overwrite snapshot intact
     "dsv2_overwrite" ->

@@ -1119,6 +1119,59 @@ class DataSourceSpec extends AnyFunSuite {
     assert(counts(Some(big)) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("ALTER TABLE DROP COLUMN: reads exclude it, inserts continue, re-ADD of residue refused") {
+    val root = freshRoot()
+    val cat = s"fsst_drop_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (key STRING, a BIGINT, b BIGINT) USING fsst")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k1', 1, 10), ('k2', 2, 20)")
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN b")
+    // the column disappears from the schema; counts and aggregates stay
+    // exact across the pre-drop batch (b's files are residue, not anchors)
+    val t1 = spark.table(s"$cat.t")
+    assert(t1.schema.fieldNames.toSeq == Seq("key", "a"))
+    assert(t1.count() == 2)
+    assert(spark.sql(s"SELECT count(*) AS c, min(a) AS m FROM $cat.t").collect()(0)
+      .toSeq == Seq(2L, 1L))
+    // inserts after the drop land without the column; mixed generations read
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k3', 3)")
+    assert(spark.table(s"$cat.t").count() == 3)
+    assert(spark.sql(s"SELECT sum(a) AS s FROM $cat.t").collect()(0).getLong(0) == 6)
+    // re-ADDing the name would let compaction resurrect the dropped
+    // data — refused while residue files are live
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN b BIGINT")
+    }
+    assert(e.getMessage.contains("previously dropped"), s"got: ${e.getMessage}")
+    // a fresh name is fine; ADD-then-DROP with no data in between leaves
+    // no residue, so the SAME name can come back
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN d BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN d")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN d BIGINT")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k4', 4, 40)")
+    assert(spark.sql(s"SELECT sum(d) AS s FROM $cat.t").collect()(0).getLong(0) == 40)
+    // an evolved column WITH data leaves residue on drop, like an original
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN d")
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN d BIGINT")
+    }.getMessage.contains("previously dropped"))
+    // guards: the key, a missing column, and the last every-batch column
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN key")
+    }.getMessage.contains("key"))
+    // a missing column is rejected by Spark's analyzer before the catalog
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN nope")
+    }.getMessage.contains("cannot be resolved"))
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN late BIGINT")
+    assert(intercept[Exception] {
+      // 'late' (evolved) would be the only value column left on a
+      // non-empty table: pre-watermark batches would become unplannable
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN a")
+    }.getMessage.contains("compact the table first"))
+  }
+
   test("a torn sidecar swap recovers from the complete tmp; a torn tmp write reads as absent") {
     val root = freshRoot()
     val cat = s"fsst_torn_${math.abs(root.hashCode)}"
