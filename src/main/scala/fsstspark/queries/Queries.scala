@@ -1315,11 +1315,14 @@ object Queries {
               min(key) AS min_key FROM $cat.docs""")
   }
 
-  /** `ALTER TABLE DROP COLUMN`: the column leaves the schema, pre-drop
-    * batches keep answering (their residue files are never anchored),
-    * post-drop INSERTs land without it, and re-ADDing the name is
-    * refused while residue is live (compaction would resurrect the
-    * dropped data). Audited against `documents`.
+  /** `ALTER TABLE DROP COLUMN`: the column leaves the schema and its
+    * data is tombstone-purged (metadata-only; vacuum reclaims the
+    * files); pre-drop batches keep answering; re-ADDing the name is
+    * SAFE — the purged values can never resurface, so rows from before
+    * the re-ADD read NULL while new INSERTs carry it. Audited against
+    * `documents`: text is dropped after the even half lands, re-added,
+    * and the odd half lands with it — count(text) must see ONLY the odd
+    * half.
     */
   def dsv2SqlDrop(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("dsv2-drop-q").toString
@@ -1337,15 +1340,11 @@ object Queries {
       src.filter(col("doc_id") % 2 =!= 0).createOrReplaceTempView("fsst_drop_src_b")
     }
     s.sql(s"ALTER TABLE $cat.docs DROP COLUMN text")
-    s.sql(s"INSERT INTO $cat.docs SELECT key, n FROM fsst_drop_src_b")
-    val refused = // residue guard: the name cannot come back while files are live
-      try { s.sql(s"ALTER TABLE $cat.docs ADD COLUMN text STRING"); 0 }
-      catch { case e: Exception if e.getMessage.contains("previously dropped") => 1 }
-    val width = s.table(s"$cat.docs").schema.fields.length
-    s.sql(s"""SELECT count(*) AS n_rows, sum(n) AS sum_n,
+    s.sql(s"ALTER TABLE $cat.docs ADD COLUMN text STRING")
+    s.sql(s"INSERT INTO $cat.docs SELECT key, n, text FROM fsst_drop_src_b")
+    s.sql(s"""SELECT count(*) AS n_rows, count(text) AS n_text,
+              sum(octet_length(encode(text, 'UTF-8'))) AS text_bytes, sum(n) AS sum_n,
               min(key) AS min_key, max(key) AS max_key FROM $cat.docs""")
-      .withColumn("n_cols", lit(width))
-      .withColumn("readd_refused", lit(refused))
   }
 
   /** `INSERT OVERWRITE` as ONE snapshot: the full-table overwrite

@@ -226,8 +226,8 @@ final class FsstCatalog extends TableCatalog {
     // declared schema, or bake the inferred one in on first evolution
     var schema = FsstCatalog.readDeclaredSchema(spark, root, ident.name)
       .getOrElse(FsstDataSource.resolve(tableOptions(ident.name, None)).schema())
-    val sinceBefore = FsstCatalog.readColumnSince(spark, root, ident.name)
-    var since = sinceBefore
+    var since = FsstCatalog.readColumnSince(spark, root, ident.name)
+    var purge = Set.empty[String]
     def manifestEmpty: Boolean =
       !io.tableExists(spark, ident.name) ||
         io.manifestOpt(spark, ident.name, None).isEmpty
@@ -245,15 +245,17 @@ final class FsstCatalog extends TableCatalog {
         require(Seq(StringType, BinaryType, LongType, DoubleType).contains(add.dataType),
           s"column $colName: fsst stores STRING/BINARY/BIGINT/DOUBLE, got ${add.dataType.sql}")
         // a name with LIVE manifest rows is residue from a dropped
-        // column: the watermark would null-pad pre-ALTER batches on the
-        // connector path, but compaction re-clusters old chunks into
-        // post-watermark batches and would RESURRECT the dropped data.
-        // Refuse loudly instead of owning that hazard.
-        require(!io.tableExists(spark, ident.name) ||
-            io.manifestOpt(spark, ident.name, None)
-              .filter(org.apache.spark.sql.functions.col("column") === colName).isEmpty,
-          s"column '$colName' was previously dropped but its data files are still " +
-            "live — compact the table to purge them, or use a different name")
+        // column whose purge was interrupted: were it left live, the
+        // watermark would null-pad pre-ALTER reads but compaction could
+        // re-cluster the old chunks past the watermark and RESURRECT the
+        // dropped data. Purge it NOW — before the column is declared —
+        // so a crash at any later point leaves no resurrectable state.
+        if (io.tableExists(spark, ident.name)) {
+          val residue = io.manifestOpt(spark, ident.name, None)
+            .filter(org.apache.spark.sql.functions.col("column") === colName)
+            .select("chunk_id", "column").distinct()
+          if (!residue.isEmpty) io.removeChunks(spark, ident.name, residue)
+        }
         schema = schema.add(StructField(colName, add.dataType, nullable = true))
         // watermark sorts after every committed batch: exactly the
         // already-committed batches null-pad; the next INSERT carries it
@@ -268,37 +270,46 @@ final class FsstCatalog extends TableCatalog {
             throw new IllegalArgumentException(s"column '$colName' does not exist")
         } else {
           val remaining = schema.fields.filterNot(_.name == colName)
-          val remainingValues = remaining.map(_.name).filter(_ != "key")
-          val sinceAfter = since - colName
           // key-only scans and COUNT pushdown anchor on a column present
           // in EVERY batch; dropping the last such column of a non-empty
           // table would make batches predating the evolved watermarks
           // uncountable. Compaction re-clusters everything into fresh
-          // (post-watermark) batches, after which the drop is legal.
-          require(
-            remainingValues.exists(c => !sinceAfter.contains(c)) || manifestEmpty,
-            s"cannot drop '$colName': every remaining value column was added by " +
-              "ALTER after data landed, so batches predating their watermarks " +
-              "could no longer be planned — compact the table first")
+          // (post-watermark) batches, after which the watermark test
+          // admits the evolved columns and the drop is legal.
+          require(manifestEmpty || FsstScan.everyBatchCols(StructType(remaining),
+              since, io.committedBatchIds(spark, ident.name).minOption).nonEmpty,
+            s"cannot drop '$colName': no remaining value column is present in " +
+              "every batch, so batches predating the evolved watermarks could " +
+              "no longer be planned — compact the table first")
           schema = StructType(remaining)
-          since = sinceAfter
+          // the ADD watermark entry is RETAINED (it is inert once the
+          // column leaves the schema): removing it would give a
+          // concurrent schema-then-watermark reader the brick side —
+          // old schema with the column still declared, new watermark
+          // file without its entry
+          purge = purge + colName
         }
       case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
-    // Write order (each write is an atomic swap with torn recovery, this
-    // ordering makes even the unrecovered windows inert): ADD's brick
-    // side is a declared column with NO watermark (pre-ALTER scans fail
-    // "expected exactly one manifest row"), DROP's is a removed
-    // watermark with the column STILL declared. So: watermarks as the
-    // UNION (adds in, drops retained) first, then the schema, then the
-    // final watermarks (drops removed). A crash at any point leaves
-    // either a stray watermark for an undeclared column (inert) or the
-    // old consistent state.
-    val union = sinceBefore ++ since
-    FsstCatalog.writeColumnSince(spark, root, ident.name, union)
+    // watermarks FIRST: a stray watermark for a column not in the
+    // declared schema is inert, but a declared column with no watermark
+    // makes every scan of pre-ALTER batches fail ("expected exactly one
+    // manifest row") — a crash between the two writes must land on the
+    // harmless side. DROP changes only the schema (watermarks retained).
+    FsstCatalog.writeColumnSince(spark, root, ident.name, since)
     FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
-    if (union != since)
-      FsstCatalog.writeColumnSince(spark, root, ident.name, since)
+    // LAST: purge dropped columns' data as batch-gated tombstones — a
+    // metadata-only delete, after which vacuum reclaims the files and
+    // the name can be re-added (the tombstoned rows can never resurface,
+    // not even through compaction, which only sees live rows). A crash
+    // before this leaves a functional table; a later re-ADD of the name
+    // purges the residue itself before declaring the column.
+    if (purge.nonEmpty && io.tableExists(spark, ident.name)) {
+      val residue = io.manifestOpt(spark, ident.name, None)
+        .filter(org.apache.spark.sql.functions.col("column").isin(purge.toSeq: _*))
+        .select("chunk_id", "column").distinct()
+      if (!residue.isEmpty) io.removeChunks(spark, ident.name, residue)
+    }
     loadTable(ident)
   }
 

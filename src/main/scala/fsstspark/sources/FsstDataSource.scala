@@ -463,15 +463,17 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     else {
       val flat = specs.map(_.get)
       // COUNT(*) and key MIN/MAX fold over an ANCHOR column's manifest
-      // rows, which must exist in every batch — refuse when no
-      // non-evolved value column remains (key-only declared tables, or
-      // every original column dropped with only post-ALTER columns left)
+      // rows, which must exist in every batch — refuse when no such
+      // column exists (key-only declared tables, or every original
+      // column dropped with only post-ALTER columns left AND batches
+      // predating their watermarks)
       val needsAnchor = flat.exists {
         case CountStarSpec => true
         case MinMaxSpec(c, _, _) => c == "key"
       }
-      if (needsAnchor &&
-          !tableSchema.fields.drop(1).exists(f => !columnSince.contains(f.name))) return None
+      if (needsAnchor && FsstScan.everyBatchCols(tableSchema, columnSince,
+          new ParquetTableIO(root).committedBatchIds(SparkSession.active, table)
+            .minOption).isEmpty) return None
       val statCols = flat.collect { case MinMaxSpec(c, _, _) if c != "key" => c }.distinct
       if (statCols.isEmpty || statsComplete(statCols.toIndexedSeq)) Some(flat) else None
     }
@@ -618,12 +620,13 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
-    // COUNT/key-bound folds ride a column present in EVERY batch: the
-    // first non-evolved value column (aggSpecs refuses the pushdown when
-    // none exists)
-    val anchor = tableSchema.fields.iterator.drop(1).map(_.name)
-      .find(c => !columnSince.contains(c))
-      .getOrElse(tableSchema.fields(1).name)
+    // COUNT/key-bound folds ride a column present in EVERY batch
+    // (aggSpecs refuses the pushdown when none exists)
+    val anchor = FsstScan.everyBatchCols(tableSchema, columnSince,
+        io.committedBatchIds(spark, table).minOption)
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"table '$table': aggregate fold with no every-batch anchor column — " +
+          "aggSpecs must refuse this state"))
     val aggExprs = specs.zipWithIndex.map {
       case (CountStarSpec, i) =>
         coalesce(sum(when(col("column") === anchor, col("n_rows"))), lit(0L)).as(s"a$i")
@@ -759,8 +762,8 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     // a counting/anchor column must be present in EVERY batch: declared
     // (dropped-column residue rows are absent from post-drop batches)
     // and non-evolved (added columns are absent from pre-watermark ones)
-    val everyBatchCols =
-      tableSchema.fields.iterator.drop(1).map(_.name).filter(c => !columnSince.contains(c)).toSeq
+    val everyBatchCols = FsstScan.everyBatchCols(tableSchema, columnSince,
+      io.committedBatchIds(spark, table).minOption)
     if (valueFields.isEmpty && statCols.isEmpty && !stored.fieldNames.contains("key") &&
         everyBatchCols.nonEmpty) {
       // empty projection, no value filters: count rows straight off the
@@ -786,13 +789,24 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       // of ONLY evolved columns rides a base column so pre-evolution
       // chunks still surface (null-padded).
       val evolved = columnSince.keySet
-      def baseAnchor: Option[String] = FsstScan.smallestColumn(
+      lazy val baseAnchor: Option[String] = FsstScan.smallestColumn(
         m.filter(org.apache.spark.sql.functions.col("column").isin(everyBatchCols: _*)))
       val (fetch, readValues) =
         if (valueFields.nonEmpty)
           (if (valueFields.forall(evolved.contains)) valueFields ++ baseAnchor.toSeq
            else valueFields, true)
         else (baseAnchor.toSeq, false)
+      // an anchorless plan over a non-empty manifest would silently LOSE
+      // rows — key-only/count scans would read zero, an all-evolved
+      // projection would drop every pre-watermark instance. Fail loudly
+      // instead (reachable only through states the ALTER guards refuse
+      // to create, e.g. interrupted DDL)
+      if ((fetch.isEmpty || (valueFields.nonEmpty && valueFields.forall(evolved.contains) &&
+          baseAnchor.isEmpty)) && !m.limit(1).isEmpty)
+        throw new IllegalStateException(
+          s"table '$table': no declared value column is present in every batch — " +
+            "cannot anchor a key-only/count scan or null-pad an all-evolved " +
+            "projection; compact the table onto one schema generation")
       val needed = (fetch ++ statCols).distinct
       val mAll = FsstScan.pruneManifest(m, needed, filters, statCols, doubleCols)
         .select("file", "column", "chunk_id", "n_rows", "bytes_out",
@@ -978,6 +992,29 @@ private[sources] object FsstScan {
       .groupBy(col("chunk_id")).agg(max(col("n")).as("live"))
   }
 
+  /** Declared value columns guaranteed present in EVERY batch a reader
+    * can see: non-evolved ones (originals span the table's life) plus
+    * evolved ones whose watermark sorts at-or-before `minBatch` (every
+    * live batch post-dates the ADD, e.g. after a full compaction or on a
+    * table whose data all landed after the ALTER). Anchor picks and
+    * COUNT/key-bound folds may ride exactly these; dropped-column
+    * residue is excluded by construction (not declared). `minBatch` is
+    * by-name so the commit-log listing only happens when evolved
+    * columns force the comparison.
+    */
+  def everyBatchCols(tableSchema: StructType, columnSince: Map[String, String],
+      minBatch: => Option[String]): Seq[String] = {
+    val declared = tableSchema.fields.iterator.drop(1).map(_.name).toSeq
+    if (declared.forall(c => !columnSince.contains(c))) declared
+    else {
+      val mb = minBatch
+      declared.filter(c => columnSince.get(c) match {
+        case None => true
+        case Some(w) => mb.exists(w <= _)
+      })
+    }
+  }
+
   /** `required` minus the metadata columns — the STORED fields a plan
     * fetches from disk (metadata values are emitted by the reader from
     * the partition's own chunk list, never read).
@@ -1036,12 +1073,13 @@ private[sources] object FsstScan {
     val evolved = columnSince.keySet
     val (fetch, readValues) = fetchOverride.getOrElse {
       def anchor: Option[String] = {
-        // candidates must be present in EVERY batch: declared (a DROPPED
-        // column's residue rows are absent from post-drop batches) and
-        // non-evolved (an added column is absent from pre-watermark ones)
-        val schemaNames = tableSchema.fieldNames.toSet
-        val rows = mAll.filter(r => schemaNames.contains(r.getString(1)) &&
-          !evolved.contains(r.getString(1)))
+        // candidates must be present in EVERY batch in view: declared
+        // (a DROPPED column's residue rows are absent from post-drop
+        // batches) and non-evolved — or evolved with every batch in
+        // view post-dating the watermark
+        val minBatch = mAll.iterator.map(r => batchFromPath(r.getString(0))).minOption
+        val ok = everyBatchCols(tableSchema, columnSince, minBatch).toSet
+        val rows = mAll.filter(r => ok.contains(r.getString(1)))
         if (rows.isEmpty) None
         else Some(rows.groupBy(_.getString(1)).view
           .mapValues(_.map(_.getLong(4)).sum).minBy(t => (t._2, t._1))._1)
@@ -1051,7 +1089,19 @@ private[sources] object FsstScan {
          else valueFields, true)
       else (anchor.toSeq, false)
     }
-    if (fetch.isEmpty) return (Array.empty, 0L, 0L)
+    // a fetch that misses an instance ENTIRELY (no row for any fetched
+    // column) would silently lose that instance's rows — fail loudly.
+    // Exact check for the non-override (stream) path, whose mAll is the
+    // full batch; the batch scan's mAll is already pruned to `needed`,
+    // so its plan-level guard lives in computePlanInner.
+    val fetchSet = fetch.toSet
+    def lostInstance: Boolean = fetchOverride.isEmpty &&
+      mAll.groupBy(r => (r.getLong(2), batchFromPath(r.getString(0))))
+        .exists { case (_, rows) => !rows.exists(r => fetchSet.contains(r.getString(1))) }
+    if (fetch.isEmpty || lostInstance)
+      throw new IllegalStateException(
+        s"table '$table': no fetchable column is present in every batch in view — " +
+          "cannot anchor this scan; compact the table onto one schema generation")
     val needed = (fetch ++ statCols).distinct.toSet
     val m = mAll.filter(r => needed.contains(r.getString(1)))
     // (chunk_id, batch) -> per-column manifest rows: one PHYSICAL chunk.

@@ -243,14 +243,15 @@ object SparkEntry {
          CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
          min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key
          FROM documents""",
-    // DROP COLUMN text: all rows still counted across both generations,
-    // schema is (key, n), re-ADD of the residue name refused
+    // DROP COLUMN text (purged) then re-ADD: only the odd half (inserted
+    // after the re-ADD) carries text; the purged even half reads NULL
     "dsv2_sql_drop" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+         CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN strlen(text) END) AS BIGINT) AS text_bytes,
          CAST(sum(n_chars) AS BIGINT) AS sum_n,
          min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,
-         max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key,
-         CAST(2 AS INTEGER) AS n_cols, CAST(1 AS INTEGER) AS readd_refused
+         max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_key
          FROM documents""",
     // INSERT OVERWRITE with n > 500, n doubled; pre-overwrite snapshot intact
     "dsv2_overwrite" ->

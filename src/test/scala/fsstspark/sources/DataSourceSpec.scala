@@ -1119,7 +1119,7 @@ class DataSourceSpec extends AnyFunSuite {
     assert(counts(Some(big)) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("ALTER TABLE DROP COLUMN: reads exclude it, inserts continue, re-ADD of residue refused") {
+  test("ALTER TABLE DROP COLUMN: purge, resurrection-safe re-ADD, residue recovery, guards") {
     val root = freshRoot()
     val cat = s"fsst_drop_${math.abs(root.hashCode)}"
     spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
@@ -1127,35 +1127,42 @@ class DataSourceSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $cat.t (key STRING, a BIGINT, b BIGINT) USING fsst")
     spark.sql(s"INSERT INTO $cat.t VALUES ('k1', 1, 10), ('k2', 2, 20)")
     spark.sql(s"ALTER TABLE $cat.t DROP COLUMN b")
-    // the column disappears from the schema; counts and aggregates stay
-    // exact across the pre-drop batch (b's files are residue, not anchors)
+    // the column leaves the schema and its data is tombstone-purged;
+    // counts and aggregates stay exact across the pre-drop batch
     val t1 = spark.table(s"$cat.t")
     assert(t1.schema.fieldNames.toSeq == Seq("key", "a"))
     assert(t1.count() == 2)
     assert(spark.sql(s"SELECT count(*) AS c, min(a) AS m FROM $cat.t").collect()(0)
       .toSeq == Seq(2L, 1L))
+    val io = new ParquetTableIO(root)
+    assert(io.manifestOpt(spark, "t", None)
+      .filter(col("column") === "b").isEmpty, "drop must purge b's manifest rows")
     // inserts after the drop land without the column; mixed generations read
     spark.sql(s"INSERT INTO $cat.t VALUES ('k3', 3)")
     assert(spark.table(s"$cat.t").count() == 3)
     assert(spark.sql(s"SELECT sum(a) AS s FROM $cat.t").collect()(0).getLong(0) == 6)
-    // re-ADDing the name would let compaction resurrect the dropped
-    // data — refused while residue files are live
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN b BIGINT")
-    }
-    assert(e.getMessage.contains("previously dropped"), s"got: ${e.getMessage}")
-    // a fresh name is fine; ADD-then-DROP with no data in between leaves
-    // no residue, so the SAME name can come back
-    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN d BIGINT")
-    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN d")
-    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN d BIGINT")
-    spark.sql(s"INSERT INTO $cat.t VALUES ('k4', 4, 40)")
-    assert(spark.sql(s"SELECT sum(d) AS s FROM $cat.t").collect()(0).getLong(0) == 40)
-    // an evolved column WITH data leaves residue on drop, like an original
-    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN d")
-    assert(intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN d BIGINT")
-    }.getMessage.contains("previously dropped"))
+    // the purge makes re-ADD safe: the name returns with a fresh
+    // watermark, old rows read NULL (the dropped 10/20 can NEVER
+    // resurface — their rows are tombstoned, invisible to compaction)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN b BIGINT")
+    assert(spark.sql(s"SELECT count(b) AS c FROM $cat.t").collect()(0).getLong(0) == 0)
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k4', 4, 44)")
+    assert(spark.sql(s"SELECT count(b) AS c, sum(b) AS s FROM $cat.t").collect()(0)
+      .toSeq == Seq(1L, 44L))
+    // interrupted-purge recovery: fabricate residue (live manifest rows
+    // for an undeclared column, exactly what a crash between the schema
+    // write and the purge leaves) via a typed single-column append —
+    // ADD COLUMN purges it BEFORE declaring the name, so the stray 7
+    // can never surface (not even via compaction)
+    import spark.implicits._
+    val residue = EncodePipeline.encodeColumnsLocal(
+      Seq(("rk1", 7L)).toDF("k", "c"), col("k"),
+      Seq(ColSpec("c", col("c"), isLong = true)), 64L << 10)
+    io.writeChunks(residue, "t")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c BIGINT")
+    assert(spark.sql(s"SELECT count(c) AS n FROM $cat.t").collect()(0).getLong(0) == 0)
+    assert(io.manifestOpt(spark, "t", None)
+      .filter(col("column") === "c").isEmpty, "re-ADD must purge the residue")
     // guards: the key, a missing column, and the last every-batch column
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN key")
@@ -1164,10 +1171,9 @@ class DataSourceSpec extends AnyFunSuite {
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN nope")
     }.getMessage.contains("cannot be resolved"))
-    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN late BIGINT")
     assert(intercept[Exception] {
-      // 'late' (evolved) would be the only value column left on a
-      // non-empty table: pre-watermark batches would become unplannable
+      // b and c (evolved, with pre-watermark batches) would be the only
+      // value columns left on a non-empty table — unplannable
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN a")
     }.getMessage.contains("compact the table first"))
   }
