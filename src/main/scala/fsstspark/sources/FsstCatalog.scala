@@ -244,17 +244,21 @@ final class FsstCatalog extends TableCatalog {
           s"added column '$colName' must be nullable — existing rows read NULL")
         require(Seq(StringType, BinaryType, LongType, DoubleType).contains(add.dataType),
           s"column $colName: fsst stores STRING/BINARY/BIGINT/DOUBLE, got ${add.dataType.sql}")
-        // a name with LIVE manifest rows is residue from a dropped
-        // column whose purge was interrupted: were it left live, the
-        // watermark would null-pad pre-ALTER reads but compaction could
-        // re-cluster the old chunks past the watermark and RESURRECT the
-        // dropped data. Purge it NOW — before the column is declared —
-        // so a crash at any later point leaves no resurrectable state.
-        if (io.tableExists(spark, ident.name)) {
-          val residue = io.manifestOpt(spark, ident.name, None)
-            .filter(org.apache.spark.sql.functions.col("column") === colName)
-            .select("chunk_id", "column").distinct()
-          if (!residue.isEmpty) io.removeChunks(spark, ident.name, residue)
+        // live manifest rows under the added name are one of two very
+        // different things. (a) Residue of a DROPPED column whose purge
+        // was interrupted (the name is in the dropped ledger): purge it
+        // NOW — before the column is declared — else compaction could
+        // re-cluster the old chunks past the new watermark and RESURRECT
+        // dropped data. (b) Live data appended through the typed API for
+        // a column the declared schema never knew: destroying that on a
+        // metadata DDL would be silent data loss — refuse loudly.
+        if (io.tableExists(spark, ident.name) &&
+            hasLiveRows(ident.name, io, spark, colName)) {
+          require(FsstCatalog.readDroppedLedger(spark, root, ident.name).contains(colName),
+            s"column '$colName' has live data written outside the declared schema " +
+              "(typed-path append) and was never dropped — ADD will not purge it; " +
+              "use a different name, or remove the data via the typed API first")
+          purgeResidue(spark, io, ident.name, Set(colName))
         }
         schema = schema.add(StructField(colName, add.dataType, nullable = true))
         // watermark sorts after every committed batch: exactly the
@@ -270,17 +274,21 @@ final class FsstCatalog extends TableCatalog {
             throw new IllegalArgumentException(s"column '$colName' does not exist")
         } else {
           val remaining = schema.fields.filterNot(_.name == colName)
-          // key-only scans and COUNT pushdown anchor on a column present
-          // in EVERY batch; dropping the last such column of a non-empty
-          // table would make batches predating the evolved watermarks
-          // uncountable. Compaction re-clusters everything into fresh
-          // (post-watermark) batches, after which the watermark test
-          // admits the evolved columns and the drop is legal.
+          // every live instance must retain at least one remaining
+          // column, or the purge makes its ROWS vanish (keys live inside
+          // column blobs — a chunk with all value columns tombstoned is
+          // dead) and key-only/count scans lose their anchor. The bound
+          // is the oldest LIVE batch of the PRE-drop declared columns —
+          // including the one being dropped, whose live rows mark
+          // instances that must stay covered — never commit markers
+          // (retained forever). Compaction re-clusters everything into
+          // fresh post-watermark batches and genuinely legalizes the
+          // drop.
           require(manifestEmpty || FsstScan.everyBatchCols(StructType(remaining),
-              since, io.committedBatchIds(spark, ident.name).minOption).nonEmpty,
-            s"cannot drop '$colName': no remaining value column is present in " +
-              "every batch, so batches predating the evolved watermarks could " +
-              "no longer be planned — compact the table first")
+              since, FsstScan.minLiveBatch(io.manifestOpt(spark, ident.name, None),
+                schema.fields.iterator.drop(1).map(_.name).toSeq)).nonEmpty,
+            s"cannot drop '$colName': batches would remain whose rows no " +
+              "remaining value column covers — compact the table first")
           schema = StructType(remaining)
           // the ADD watermark entry is RETAINED (it is inert once the
           // column leaves the schema): removing it would give a
@@ -296,21 +304,46 @@ final class FsstCatalog extends TableCatalog {
     // makes every scan of pre-ALTER batches fail ("expected exactly one
     // manifest row") — a crash between the two writes must land on the
     // harmless side. DROP changes only the schema (watermarks retained).
+    // The dropped LEDGER is written before the schema for the same
+    // reason: an entry for a still-declared column is inert (ADD refuses
+    // "already exists"), while schema-then-ledger could leave an
+    // undeclared column with live rows and no ledger entry — which a
+    // later re-ADD would refuse as typed-path data instead of purging.
     FsstCatalog.writeColumnSince(spark, root, ident.name, since)
+    if (purge.nonEmpty)
+      FsstCatalog.writeDroppedLedger(spark, root, ident.name,
+        FsstCatalog.readDroppedLedger(spark, root, ident.name) ++
+          purge.iterator.map(_ -> io.newWatermark(spark, ident.name)))
     FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
     // LAST: purge dropped columns' data as batch-gated tombstones — a
     // metadata-only delete, after which vacuum reclaims the files and
     // the name can be re-added (the tombstoned rows can never resurface,
     // not even through compaction, which only sees live rows). A crash
     // before this leaves a functional table; a later re-ADD of the name
-    // purges the residue itself before declaring the column.
-    if (purge.nonEmpty && io.tableExists(spark, ident.name)) {
-      val residue = io.manifestOpt(spark, ident.name, None)
-        .filter(org.apache.spark.sql.functions.col("column").isin(purge.toSeq: _*))
-        .select("chunk_id", "column").distinct()
-      if (!residue.isEmpty) io.removeChunks(spark, ident.name, residue)
-    }
+    // sees the ledger entry and purges the residue itself before
+    // declaring the column.
+    if (purge.nonEmpty && io.tableExists(spark, ident.name))
+      purgeResidue(spark, io, ident.name, purge)
     loadTable(ident)
+  }
+
+  /** Does the live manifest hold any rows under `colName`? */
+  private def hasLiveRows(table: String, io: ParquetTableIO, spark: SparkSession,
+      colName: String): Boolean =
+    !io.manifestOpt(spark, table, None)
+      .filter(org.apache.spark.sql.functions.col("column") === colName)
+      .limit(1).isEmpty
+
+  /** Tombstone every live manifest row of `cols` as one batch-gated
+    * metadata delete — the dropped-column purge (shared by DROP itself
+    * and ADD's interrupted-purge recovery).
+    */
+  private def purgeResidue(spark: SparkSession, io: ParquetTableIO,
+      table: String, cols: Set[String]): Unit = {
+    val residue = io.manifestOpt(spark, table, None)
+      .filter(org.apache.spark.sql.functions.col("column").isin(cols.toSeq: _*))
+      .select("chunk_id", "column").distinct()
+    if (!residue.isEmpty) io.removeChunks(spark, table, residue)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -551,15 +584,38 @@ object FsstCatalog {
       }.toMap
 
   def writeColumnSince(spark: SparkSession, root: String, table: String,
-      since: Map[String, String]): Unit = {
-    val p = sincePath(root, table)
-    // never CREATE a sidecar for an empty map (unevolved tables carry no
-    // watermark file), but a DROP that empties the map must OVERWRITE
-    // the existing file (empty content reads as Map.empty)
+      since: Map[String, String]): Unit =
+    writeTsvSidecar(spark, sincePath(root, table), since)
+
+  /** Names DROP COLUMN has ever dropped (value = the drop's mint-order
+    * watermark, recorded for forensics): `<root>/<table>/_dropped.tsv`.
+    * Distinguishes interrupted-purge residue (safe for a re-ADD to
+    * purge) from live typed-path data under a never-declared name
+    * (which a metadata DDL must NOT destroy). Entries are retained
+    * forever — inert for any declared or absent column.
+    */
+  private def droppedPath(root: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$table/_dropped.tsv")
+
+  def readDroppedLedger(spark: SparkSession, root: String, table: String): Map[String, String] =
+    readSidecar(spark, droppedPath(root, table),
+      s => scala.util.Try { parseSince(s); true }.getOrElse(false))
+      .map(parseSince).getOrElse(Map.empty)
+
+  def writeDroppedLedger(spark: SparkSession, root: String, table: String,
+      dropped: Map[String, String]): Unit =
+    writeTsvSidecar(spark, droppedPath(root, table), dropped)
+
+  /** Never CREATE a sidecar for an empty map (most tables carry
+    * neither), but an update that empties the map must OVERWRITE the
+    * existing file (empty content reads as Map.empty).
+    */
+  private def writeTsvSidecar(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+      entries: Map[String, String]): Unit = {
     val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    if (since.nonEmpty || exists)
+    if (entries.nonEmpty || exists)
       writeSidecar(spark, p,
-        since.toSeq.sorted.map { case (c, w) => s"$c\t$w" }.mkString("\n"))
+        entries.toSeq.sorted.map { case (c, w) => s"$c\t$w" }.mkString("\n"))
   }
 
   private def tmpPath(p: org.apache.hadoop.fs.Path) =

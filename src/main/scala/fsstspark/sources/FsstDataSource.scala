@@ -387,6 +387,14 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
+  /** Oldest live batch of any declared value column — memoized across
+    * the builder's two aggSpecs probes (supportCompletePushDown, then
+    * pushAggregation); forced only when evolved columns exist.
+    */
+  private lazy val minLiveBatchV: Option[String] = FsstScan.minLiveBatch(
+    new ParquetTableIO(root).manifestOpt(SparkSession.active, table, asOf),
+    tableSchema.fieldNames.drop(1).toSeq)
+
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var sawFilters = false
@@ -471,9 +479,9 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
         case CountStarSpec => true
         case MinMaxSpec(c, _, _) => c == "key"
       }
-      if (needsAnchor && FsstScan.everyBatchCols(tableSchema, columnSince,
-          new ParquetTableIO(root).committedBatchIds(SparkSession.active, table)
-            .minOption).isEmpty) return None
+      if (needsAnchor &&
+          FsstScan.everyBatchCols(tableSchema, columnSince, minLiveBatchV).isEmpty)
+        return None
       val statCols = flat.collect { case MinMaxSpec(c, _, _) if c != "key" => c }.distinct
       if (statCols.isEmpty || statsComplete(statCols.toIndexedSeq)) Some(flat) else None
     }
@@ -553,6 +561,14 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   private def manifestDf(spark: SparkSession, io: ParquetTableIO) =
     io.manifestOpt(spark, table, asOf)
 
+  /** Oldest live batch of any declared value column — memoized: aggRow
+    * and every planning pass share one aggregate (and it only runs when
+    * evolved columns force the every-batch comparison at all).
+    */
+  private lazy val minLiveBatchV: Option[String] = FsstScan.minLiveBatch(
+    manifestDf(SparkSession.active, new ParquetTableIO(root)),
+    tableSchema.fieldNames.drop(1).toSeq)
+
   // ------------------------------------------ runtime group filtering
   // Spark's RowLevelOperationRuntimeGroupFiltering (and DPP on an
   // explicit `_chunk_id` join) narrows this scan AT EXECUTION to the
@@ -622,8 +638,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     val io = new ParquetTableIO(root)
     // COUNT/key-bound folds ride a column present in EVERY batch
     // (aggSpecs refuses the pushdown when none exists)
-    val anchor = FsstScan.everyBatchCols(tableSchema, columnSince,
-        io.committedBatchIds(spark, table).minOption)
+    val anchor = FsstScan.everyBatchCols(tableSchema, columnSince, minLiveBatchV)
       .headOption.getOrElse(throw new IllegalStateException(
         s"table '$table': aggregate fold with no every-batch anchor column — " +
           "aggSpecs must refuse this state"))
@@ -762,8 +777,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     // a counting/anchor column must be present in EVERY batch: declared
     // (dropped-column residue rows are absent from post-drop batches)
     // and non-evolved (added columns are absent from pre-watermark ones)
-    val everyBatchCols = FsstScan.everyBatchCols(tableSchema, columnSince,
-      io.committedBatchIds(spark, table).minOption)
+    val everyBatchCols = FsstScan.everyBatchCols(tableSchema, columnSince, minLiveBatchV)
     if (valueFields.isEmpty && statCols.isEmpty && !stored.fieldNames.contains("key") &&
         everyBatchCols.nonEmpty) {
       // empty projection, no value filters: count rows straight off the
@@ -796,13 +810,20 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
           (if (valueFields.forall(evolved.contains)) valueFields ++ baseAnchor.toSeq
            else valueFields, true)
         else (baseAnchor.toSeq, false)
-      // an anchorless plan over a non-empty manifest would silently LOSE
+      // an anchorless plan over live DECLARED rows would silently LOSE
       // rows — key-only/count scans would read zero, an all-evolved
       // projection would drop every pre-watermark instance. Fail loudly
       // instead (reachable only through states the ALTER guards refuse
-      // to create, e.g. interrupted DDL)
+      // to create, e.g. interrupted DDL). Residue rows of undeclared
+      // columns don't count: with no declared rows the empty result IS
+      // correct.
+      def liveDeclaredRows: Boolean = {
+        val declared = tableSchema.fieldNames.drop(1).toSeq
+        declared.nonEmpty && !m.filter(
+          org.apache.spark.sql.functions.col("column").isin(declared: _*)).limit(1).isEmpty
+      }
       if ((fetch.isEmpty || (valueFields.nonEmpty && valueFields.forall(evolved.contains) &&
-          baseAnchor.isEmpty)) && !m.limit(1).isEmpty)
+          baseAnchor.isEmpty)) && liveDeclaredRows)
         throw new IllegalStateException(
           s"table '$table': no declared value column is present in every batch — " +
             "cannot anchor a key-only/count scan or null-pad an all-evolved " +
@@ -992,15 +1013,35 @@ private[sources] object FsstScan {
       .groupBy(col("chunk_id")).agg(max(col("n")).as("live"))
   }
 
+  /** The oldest batch holding a LIVE manifest row of any declared value
+    * column — the correct lower bound for [[everyBatchCols]]' watermark
+    * admission. Commit markers are the WRONG source: they are never
+    * pruned (vacuum touches only data files, compaction keeps old
+    * markers), so a marker-based min pins at the table's first-ever
+    * batch forever and compaction could never legalize an evolved
+    * anchor. Restricted to declared columns so dropped-column residue
+    * (whose instances can never surface rows) doesn't drag the bound
+    * down. One tiny distributed aggregate; callers memoize and only
+    * force it when evolved columns exist.
+    */
+  def minLiveBatch(m: org.apache.spark.sql.DataFrame,
+      declaredValueCols: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.functions.{col, min, regexp_extract}
+    if (declaredValueCols.isEmpty) None
+    else m.filter(col("column").isin(declaredValueCols: _*))
+      .agg(min(regexp_extract(col("file"), "batch=([^/]*)", 1)))
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+  }
+
   /** Declared value columns guaranteed present in EVERY batch a reader
     * can see: non-evolved ones (originals span the table's life) plus
-    * evolved ones whose watermark sorts at-or-before `minBatch` (every
-    * live batch post-dates the ADD, e.g. after a full compaction or on a
-    * table whose data all landed after the ALTER). Anchor picks and
-    * COUNT/key-bound folds may ride exactly these; dropped-column
-    * residue is excluded by construction (not declared). `minBatch` is
-    * by-name so the commit-log listing only happens when evolved
-    * columns force the comparison.
+    * evolved ones whose watermark sorts at-or-before `minBatch` — the
+    * oldest LIVE batch in view ([[minLiveBatch]]), so e.g. after a full
+    * compaction, or on a table whose data all landed after the ALTER,
+    * the evolved columns anchor fine. Anchor picks and COUNT/key-bound
+    * folds may ride exactly these; dropped-column residue is excluded
+    * by construction (not declared). `minBatch` is by-name so its
+    * aggregate only runs when evolved columns force the comparison.
     */
   def everyBatchCols(tableSchema: StructType, columnSince: Map[String, String],
       minBatch: => Option[String]): Seq[String] = {
@@ -1089,19 +1130,25 @@ private[sources] object FsstScan {
          else valueFields, true)
       else (anchor.toSeq, false)
     }
-    // a fetch that misses an instance ENTIRELY (no row for any fetched
-    // column) would silently lose that instance's rows — fail loudly.
-    // Exact check for the non-override (stream) path, whose mAll is the
-    // full batch; the batch scan's mAll is already pruned to `needed`,
-    // so its plan-level guard lives in computePlanInner.
+    // a fetch that misses a DECLARED instance ENTIRELY (no row for any
+    // fetched column among instances that hold declared rows) would
+    // silently lose that instance's rows — fail loudly. Exact check for
+    // the non-override (stream) path, whose mAll is the full batch; the
+    // batch scan's mAll is already pruned to `needed`, so its
+    // plan-level guard lives in computePlanInner. Residue-only
+    // instances of undeclared columns are legitimately invisible.
     val fetchSet = fetch.toSet
+    val declaredSet = tableSchema.fieldNames.drop(1).toSet
     def lostInstance: Boolean = fetchOverride.isEmpty &&
-      mAll.groupBy(r => (r.getLong(2), batchFromPath(r.getString(0))))
+      mAll.filter(r => declaredSet.contains(r.getString(1)))
+        .groupBy(r => (r.getLong(2), batchFromPath(r.getString(0))))
         .exists { case (_, rows) => !rows.exists(r => fetchSet.contains(r.getString(1))) }
-    if (fetch.isEmpty || lostInstance)
+    if ((fetch.isEmpty && mAll.exists(r => declaredSet.contains(r.getString(1)))) ||
+        lostInstance)
       throw new IllegalStateException(
         s"table '$table': no fetchable column is present in every batch in view — " +
           "cannot anchor this scan; compact the table onto one schema generation")
+    if (fetch.isEmpty) return (Array.empty, 0L, 0L)
     val needed = (fetch ++ statCols).distinct.toSet
     val m = mAll.filter(r => needed.contains(r.getString(1)))
     // (chunk_id, batch) -> per-column manifest rows: one PHYSICAL chunk.

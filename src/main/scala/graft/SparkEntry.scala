@@ -247,7 +247,8 @@ object SparkEntry {
     // after the re-ADD) carries text; the purged even half reads NULL
     "dsv2_sql_drop" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+         CAST(sum(CASE WHEN doc_id % 2 <> 0 AND text IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
          CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN strlen(text) END) AS BIGINT) AS text_bytes,
          CAST(sum(n_chars) AS BIGINT) AS sum_n,
          min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_key,

@@ -1149,20 +1149,30 @@ class DataSourceSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.t VALUES ('k4', 4, 44)")
     assert(spark.sql(s"SELECT count(b) AS c, sum(b) AS s FROM $cat.t").collect()(0)
       .toSeq == Seq(1L, 44L))
-    // interrupted-purge recovery: fabricate residue (live manifest rows
-    // for an undeclared column, exactly what a crash between the schema
-    // write and the purge leaves) via a typed single-column append —
-    // ADD COLUMN purges it BEFORE declaring the name, so the stray 7
-    // can never surface (not even via compaction)
+    // live typed-path data under a name the schema never declared must
+    // NOT be destroyed by a metadata DDL — ADD refuses loudly
     import spark.implicits._
-    val residue = EncodePipeline.encodeColumnsLocal(
+    val typedC = EncodePipeline.encodeColumnsLocal(
       Seq(("rk1", 7L)).toDF("k", "c"), col("k"),
       Seq(ColSpec("c", col("c"), isLong = true)), 64L << 10)
-    io.writeChunks(residue, "t")
-    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c BIGINT")
-    assert(spark.sql(s"SELECT count(c) AS n FROM $cat.t").collect()(0).getLong(0) == 0)
+    io.writeChunks(typedC, "t")
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c BIGINT")
+    }.getMessage.contains("never dropped"))
+    // interrupted-purge recovery: a DROPPED name (ledger entry) whose
+    // residue survived a crash between the schema write and the purge —
+    // fabricated via a typed single-column append — IS purged by the
+    // re-ADD before declaring, so the stray 9 can never surface
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN e BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN e")
+    val typedE = EncodePipeline.encodeColumnsLocal(
+      Seq(("rk2", 9L)).toDF("k", "e"), col("k"),
+      Seq(ColSpec("e", col("e"), isLong = true)), 64L << 10)
+    io.writeChunks(typedE, "t")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN e BIGINT")
+    assert(spark.sql(s"SELECT count(e) AS n FROM $cat.t").collect()(0).getLong(0) == 0)
     assert(io.manifestOpt(spark, "t", None)
-      .filter(col("column") === "c").isEmpty, "re-ADD must purge the residue")
+      .filter(col("column") === "e").isEmpty, "re-ADD must purge ledgered residue")
     // guards: the key, a missing column, and the last every-batch column
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN key")
@@ -1172,8 +1182,9 @@ class DataSourceSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN nope")
     }.getMessage.contains("cannot be resolved"))
     assert(intercept[Exception] {
-      // b and c (evolved, with pre-watermark batches) would be the only
-      // value columns left on a non-empty table — unplannable
+      // b and e (evolved — their watermarks postdate the live batches
+      // whose rows only a covers) would be the only value columns left:
+      // purging a would make those rows vanish — refused
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN a")
     }.getMessage.contains("compact the table first"))
   }
