@@ -227,6 +227,7 @@ final class FsstCatalog extends TableCatalog {
     var schema = FsstCatalog.readDeclaredSchema(spark, root, ident.name)
       .getOrElse(FsstDataSource.resolve(tableOptions(ident.name, None)).schema())
     var since = FsstCatalog.readColumnSince(spark, root, ident.name)
+    val ledger = FsstCatalog.readDroppedLedger(spark, root, ident.name)
     var purge = Set.empty[String]
     def manifestEmpty: Boolean =
       !io.tableExists(spark, ident.name) ||
@@ -246,19 +247,34 @@ final class FsstCatalog extends TableCatalog {
           s"column $colName: fsst stores STRING/BINARY/BIGINT/DOUBLE, got ${add.dataType.sql}")
         // live manifest rows under the added name are one of two very
         // different things. (a) Residue of a DROPPED column whose purge
-        // was interrupted (the name is in the dropped ledger): purge it
-        // NOW — before the column is declared — else compaction could
-        // re-cluster the old chunks past the new watermark and RESURRECT
-        // dropped data. (b) Live data appended through the typed API for
-        // a column the declared schema never knew: destroying that on a
-        // metadata DDL would be silent data loss — refuse loudly.
-        if (io.tableExists(spark, ident.name) &&
-            hasLiveRows(ident.name, io, spark, colName)) {
-          require(FsstCatalog.readDroppedLedger(spark, root, ident.name).contains(colName),
-            s"column '$colName' has live data written outside the declared schema " +
-              "(typed-path append) and was never dropped — ADD will not purge it; " +
-              "use a different name, or remove the data via the typed API first")
-          purgeResidue(spark, io, ident.name, Set(colName))
+        // was interrupted (ledger entry AND every live batch predates
+        // the drop's watermark): purge it NOW — before the column is
+        // declared — else compaction could re-cluster the old chunks
+        // past the new watermark and RESURRECT dropped data. (b) Live
+        // data the declared schema never knew — a typed-path append,
+        // whether the name was never dropped OR the append landed after
+        // a COMPLETED drop (batch at-or-after the drop watermark):
+        // destroying that on a metadata DDL would be silent data loss —
+        // refuse loudly.
+        if (io.tableExists(spark, ident.name)) {
+          val mx = io.manifestOpt(spark, ident.name, None)
+            .filter(org.apache.spark.sql.functions.col("column") === colName)
+            .agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.regexp_extract(
+                org.apache.spark.sql.functions.col("file"), "batch=([^/]*)", 1)))
+            .head()
+          if (!mx.isNullAt(0)) {
+            require(ledger.contains(colName),
+              s"column '$colName' has live data written outside the declared schema " +
+                "(typed-path append) and was never dropped — ADD will not purge it; " +
+                "use a different name, or remove the data via the typed API first")
+            require(mx.getString(0) < ledger(colName),
+              s"column '$colName' has live data appended AFTER it was dropped " +
+                s"(batch ${mx.getString(0)} >= drop watermark ${ledger(colName)}) — " +
+                "that is new typed-path data, not interrupted-drop residue; ADD will " +
+                "not purge it; remove it via the typed API first")
+            purgeResidue(spark, io, ident.name, Set(colName))
+          }
         }
         schema = schema.add(StructField(colName, add.dataType, nullable = true))
         // watermark sorts after every committed batch: exactly the
@@ -274,21 +290,26 @@ final class FsstCatalog extends TableCatalog {
             throw new IllegalArgumentException(s"column '$colName' does not exist")
         } else {
           val remaining = schema.fields.filterNot(_.name == colName)
-          // every live instance must retain at least one remaining
-          // column, or the purge makes its ROWS vanish (keys live inside
-          // column blobs — a chunk with all value columns tombstoned is
-          // dead) and key-only/count scans lose their anchor. The bound
-          // is the oldest LIVE batch of the PRE-drop declared columns —
-          // including the one being dropped, whose live rows mark
-          // instances that must stay covered — never commit markers
-          // (retained forever). Compaction re-clusters everything into
-          // fresh post-watermark batches and genuinely legalizes the
-          // drop.
-          require(manifestEmpty || FsstScan.everyBatchCols(StructType(remaining),
-              since, FsstScan.minLiveBatch(io.manifestOpt(spark, ident.name, None),
-                schema.fields.iterator.drop(1).map(_.name).toSeq)).nonEmpty,
-            s"cannot drop '$colName': batches would remain whose rows no " +
-              "remaining value column covers — compact the table first")
+          // some remaining column must hold a live row in EVERY live
+          // chunk instance that holds rows of any PRE-drop declared
+          // column — including instances holding ONLY the dropped
+          // column, whose rows the purge would otherwise make vanish
+          // entirely (keys live inside column blobs; a chunk with all
+          // value columns tombstoned is dead) — and key-only/count
+          // scans need that same column as their anchor. The test is
+          // instance-exact ([[FsstScan.everyInstanceCols]]): watermark
+          // arithmetic is NOT a safe proxy, because per-column
+          // compaction rewrites one column into fresh batches that
+          // carry nothing else. Rewriting every row onto one schema
+          // generation (full-table UPDATE / INSERT OVERWRITE) genuinely
+          // legalizes the drop.
+          require(manifestEmpty || FsstScan.everyInstanceCols(
+              io.manifestOpt(spark, ident.name, None),
+              remaining.iterator.drop(1).map(_.name).toSeq,
+              schema.fields.iterator.drop(1).map(_.name).toSeq).nonEmpty,
+            s"cannot drop '$colName': live chunk instances would remain whose rows " +
+              "no remaining value column covers — rewrite the table onto one schema " +
+              "generation first (full-table UPDATE or INSERT OVERWRITE)")
           schema = StructType(remaining)
           // the ADD watermark entry is RETAINED (it is inert once the
           // column leaves the schema): removing it would give a
@@ -310,10 +331,14 @@ final class FsstCatalog extends TableCatalog {
     // undeclared column with live rows and no ledger entry — which a
     // later re-ADD would refuse as typed-path data instead of purging.
     FsstCatalog.writeColumnSince(spark, root, ident.name, since)
-    if (purge.nonEmpty)
+    if (purge.nonEmpty) {
+      // one minted watermark per ALTER: the drop's cut line — residue
+      // batches sort before it, data appended after a completed drop
+      // sorts after (which is how a later re-ADD tells them apart)
+      val cut = io.newWatermark(spark, ident.name)
       FsstCatalog.writeDroppedLedger(spark, root, ident.name,
-        FsstCatalog.readDroppedLedger(spark, root, ident.name) ++
-          purge.iterator.map(_ -> io.newWatermark(spark, ident.name)))
+        ledger ++ purge.iterator.map(_ -> cut))
+    }
     FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
     // LAST: purge dropped columns' data as batch-gated tombstones — a
     // metadata-only delete, after which vacuum reclaims the files and
@@ -326,13 +351,6 @@ final class FsstCatalog extends TableCatalog {
       purgeResidue(spark, io, ident.name, purge)
     loadTable(ident)
   }
-
-  /** Does the live manifest hold any rows under `colName`? */
-  private def hasLiveRows(table: String, io: ParquetTableIO, spark: SparkSession,
-      colName: String): Boolean =
-    !io.manifestOpt(spark, table, None)
-      .filter(org.apache.spark.sql.functions.col("column") === colName)
-      .limit(1).isEmpty
 
   /** Tombstone every live manifest row of `cols` as one batch-gated
     * metadata delete — the dropped-column purge (shared by DROP itself
@@ -588,11 +606,11 @@ object FsstCatalog {
     writeTsvSidecar(spark, sincePath(root, table), since)
 
   /** Names DROP COLUMN has ever dropped (value = the drop's mint-order
-    * watermark, recorded for forensics): `<root>/<table>/_dropped.tsv`.
-    * Distinguishes interrupted-purge residue (safe for a re-ADD to
-    * purge) from live typed-path data under a never-declared name
-    * (which a metadata DDL must NOT destroy). Entries are retained
-    * forever — inert for any declared or absent column.
+    * watermark — the cut line a re-ADD uses to tell interrupted-purge
+    * residue, whose batches sort BEFORE it, from typed-path data
+    * appended AFTER the drop completed, which must not be purged):
+    * `<root>/<table>/_dropped.tsv`. Entries are retained forever —
+    * inert for any declared or absent column.
     */
   private def droppedPath(root: String, table: String) =
     new org.apache.hadoop.fs.Path(s"$root/$table/_dropped.tsv")

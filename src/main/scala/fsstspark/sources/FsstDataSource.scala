@@ -387,13 +387,16 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
-  /** Oldest live batch of any declared value column — memoized across
-    * the builder's two aggSpecs probes (supportCompletePushDown, then
-    * pushAggregation); forced only when evolved columns exist.
+  /** Anchor-eligible columns (live in EVERY live chunk instance) —
+    * memoized across the builder's two aggSpecs probes
+    * (supportCompletePushDown, then pushAggregation).
     */
-  private lazy val minLiveBatchV: Option[String] = FsstScan.minLiveBatch(
-    new ParquetTableIO(root).manifestOpt(SparkSession.active, table, asOf),
-    tableSchema.fieldNames.drop(1).toSeq)
+  private lazy val everyInstanceColsV: Seq[String] = {
+    val declared = tableSchema.fieldNames.drop(1).toSeq
+    FsstScan.everyInstanceCols(
+      new ParquetTableIO(root).manifestOpt(SparkSession.active, table, asOf),
+      declared, declared)
+  }
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -479,9 +482,7 @@ final class FsstScanBuilder(root: String, table: String, tableSchema: StructType
         case CountStarSpec => true
         case MinMaxSpec(c, _, _) => c == "key"
       }
-      if (needsAnchor &&
-          FsstScan.everyBatchCols(tableSchema, columnSince, minLiveBatchV).isEmpty)
-        return None
+      if (needsAnchor && everyInstanceColsV.isEmpty) return None
       val statCols = flat.collect { case MinMaxSpec(c, _, _) if c != "key" => c }.distinct
       if (statCols.isEmpty || statsComplete(statCols.toIndexedSeq)) Some(flat) else None
     }
@@ -561,13 +562,14 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   private def manifestDf(spark: SparkSession, io: ParquetTableIO) =
     io.manifestOpt(spark, table, asOf)
 
-  /** Oldest live batch of any declared value column — memoized: aggRow
-    * and every planning pass share one aggregate (and it only runs when
-    * evolved columns force the every-batch comparison at all).
+  /** Anchor-eligible columns (live in EVERY live chunk instance) —
+    * memoized: aggRow and every planning pass share one aggregate.
     */
-  private lazy val minLiveBatchV: Option[String] = FsstScan.minLiveBatch(
-    manifestDf(SparkSession.active, new ParquetTableIO(root)),
-    tableSchema.fieldNames.drop(1).toSeq)
+  private lazy val everyInstanceColsV: Seq[String] = {
+    val declared = tableSchema.fieldNames.drop(1).toSeq
+    FsstScan.everyInstanceCols(
+      manifestDf(SparkSession.active, new ParquetTableIO(root)), declared, declared)
+  }
 
   // ------------------------------------------ runtime group filtering
   // Spark's RowLevelOperationRuntimeGroupFiltering (and DPP on an
@@ -636,11 +638,11 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
-    // COUNT/key-bound folds ride a column present in EVERY batch
-    // (aggSpecs refuses the pushdown when none exists)
-    val anchor = FsstScan.everyBatchCols(tableSchema, columnSince, minLiveBatchV)
+    // COUNT/key-bound folds ride a column present in EVERY live chunk
+    // instance (aggSpecs refuses the pushdown when none exists)
+    val anchor = everyInstanceColsV
       .headOption.getOrElse(throw new IllegalStateException(
-        s"table '$table': aggregate fold with no every-batch anchor column — " +
+        s"table '$table': aggregate fold with no every-instance anchor column — " +
           "aggSpecs must refuse this state"))
     val aggExprs = specs.zipWithIndex.map {
       case (CountStarSpec, i) =>
@@ -774,17 +776,18 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       .fold(manifestDf(spark, io))(ids =>
         manifestDf(spark, io)
           .filter(org.apache.spark.sql.functions.col("chunk_id").isInCollection(ids)))
-    // a counting/anchor column must be present in EVERY batch: declared
-    // (dropped-column residue rows are absent from post-drop batches)
-    // and non-evolved (added columns are absent from pre-watermark ones)
-    val everyBatchCols = FsstScan.everyBatchCols(tableSchema, columnSince, minLiveBatchV)
+    // a counting/anchor column must be live in EVERY live chunk
+    // instance — instance-exact, not watermark arithmetic (per-column
+    // rewrites break the proxy; see [[FsstScan.everyInstanceCols]]).
+    // lazy: a plain value projection never runs the coverage aggregate
+    lazy val anchorCols = everyInstanceColsV
     if (valueFields.isEmpty && statCols.isEmpty && !stored.fieldNames.contains("key") &&
-        everyBatchCols.nonEmpty) {
+        anchorCols.nonEmpty) {
       // empty projection, no value filters: count rows straight off the
       // manifest (any single column counts each chunk's rows exactly once);
       // the key predicate is pushed into the manifest parquet scan, the
       // driver-side keySurvives is the idempotent residual
-      val anchor = everyBatchCols.head
+      val anchor = anchorCols.head
       val rows = m
         .filter(org.apache.spark.sql.functions.col("column") === anchor)
         .filter(FsstScan.keyPruneCond(filters))
@@ -804,7 +807,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       // chunks still surface (null-padded).
       val evolved = columnSince.keySet
       lazy val baseAnchor: Option[String] = FsstScan.smallestColumn(
-        m.filter(org.apache.spark.sql.functions.col("column").isin(everyBatchCols: _*)))
+        m.filter(org.apache.spark.sql.functions.col("column").isin(anchorCols: _*)))
       val (fetch, readValues) =
         if (valueFields.nonEmpty)
           (if (valueFields.forall(evolved.contains)) valueFields ++ baseAnchor.toSeq
@@ -825,9 +828,10 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       if ((fetch.isEmpty || (valueFields.nonEmpty && valueFields.forall(evolved.contains) &&
           baseAnchor.isEmpty)) && liveDeclaredRows)
         throw new IllegalStateException(
-          s"table '$table': no declared value column is present in every batch — " +
-            "cannot anchor a key-only/count scan or null-pad an all-evolved " +
-            "projection; compact the table onto one schema generation")
+          s"table '$table': no declared value column is live in every chunk " +
+            "instance — cannot anchor a key-only/count scan or null-pad an " +
+            "all-evolved projection; rewrite the table onto one schema generation " +
+            "(full-table UPDATE or INSERT OVERWRITE)")
       val needed = (fetch ++ statCols).distinct
       val mAll = FsstScan.pruneManifest(m, needed, filters, statCols, doubleCols)
         .select("file", "column", "chunk_id", "n_rows", "bytes_out",
@@ -1013,46 +1017,41 @@ private[sources] object FsstScan {
       .groupBy(col("chunk_id")).agg(max(col("n")).as("live"))
   }
 
-  /** The oldest batch holding a LIVE manifest row of any declared value
-    * column — the correct lower bound for [[everyBatchCols]]' watermark
-    * admission. Commit markers are the WRONG source: they are never
-    * pruned (vacuum touches only data files, compaction keeps old
-    * markers), so a marker-based min pins at the table's first-ever
-    * batch forever and compaction could never legalize an evolved
-    * anchor. Restricted to declared columns so dropped-column residue
-    * (whose instances can never surface rows) doesn't drag the bound
-    * down. One tiny distributed aggregate; callers memoize and only
-    * force it when evolved columns exist.
+  /** `candidates` that hold a live manifest row in EVERY live
+    * (chunk_id, batch) instance holding rows of any `universe` column —
+    * the EXACT admission test for anchor columns (key-only scans,
+    * metadata COUNT, COUNT/key-MIN-MAX pushdown, stream planning) and
+    * for the DROP COLUMN coverage guard (candidates = the remaining
+    * columns, universe = the pre-drop declared set). Within one
+    * instance every column shares one row set (they come from one
+    * encode call), so a column present in every instance surfaces every
+    * logical row, and in admitted states each logical row lives in
+    * exactly one instance — COUNT via the anchor is exact.
+    *
+    * Instance-exactness is the point: watermark arithmetic ("evolved
+    * column whose ADD predates every live batch") is NOT a safe proxy,
+    * because per-column rewrites — [[fsstspark.pipeline.Compaction]]
+    * compacts ONE column into a fresh batch carrying nothing else —
+    * create post-watermark batches the evolved column is physically
+    * absent from; an anchor admitted by arithmetic but missing from an
+    * instance silently loses that instance's rows from key-only/count
+    * scans. One small distributed aggregate over the (metadata-sized,
+    * batch-partitioned) manifest; callers memoize per plan.
     */
-  def minLiveBatch(m: org.apache.spark.sql.DataFrame,
-      declaredValueCols: Seq[String]): Option[String] = {
-    import org.apache.spark.sql.functions.{col, min, regexp_extract}
-    if (declaredValueCols.isEmpty) None
-    else m.filter(col("column").isin(declaredValueCols: _*))
-      .agg(min(regexp_extract(col("file"), "batch=([^/]*)", 1)))
-      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
-  }
-
-  /** Declared value columns guaranteed present in EVERY batch a reader
-    * can see: non-evolved ones (originals span the table's life) plus
-    * evolved ones whose watermark sorts at-or-before `minBatch` — the
-    * oldest LIVE batch in view ([[minLiveBatch]]), so e.g. after a full
-    * compaction, or on a table whose data all landed after the ALTER,
-    * the evolved columns anchor fine. Anchor picks and COUNT/key-bound
-    * folds may ride exactly these; dropped-column residue is excluded
-    * by construction (not declared). `minBatch` is by-name so its
-    * aggregate only runs when evolved columns force the comparison.
-    */
-  def everyBatchCols(tableSchema: StructType, columnSince: Map[String, String],
-      minBatch: => Option[String]): Seq[String] = {
-    val declared = tableSchema.fields.iterator.drop(1).map(_.name).toSeq
-    if (declared.forall(c => !columnSince.contains(c))) declared
-    else {
-      val mb = minBatch
-      declared.filter(c => columnSince.get(c) match {
-        case None => true
-        case Some(w) => mb.exists(w <= _)
-      })
+  def everyInstanceCols(m: org.apache.spark.sql.DataFrame,
+      candidates: Seq[String], universe: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, countDistinct, regexp_extract, struct, when}
+    if (candidates.isEmpty || universe.isEmpty) return Seq.empty
+    val inst = struct(col("chunk_id"),
+      regexp_extract(col("file"), "batch=([^/]*)", 1))
+    val aggs = countDistinct(inst).as("total") +:
+      candidates.zipWithIndex.map { case (c, i) =>
+        countDistinct(when(col("column") === c, inst)).as(s"c$i") }
+    val row = m.filter(col("column").isin(universe: _*))
+      .agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(0)
+    candidates.zipWithIndex.collect {
+      case (c, i) if row.getLong(i + 1) == total => c
     }
   }
 
@@ -1112,14 +1111,21 @@ private[sources] object FsstScan {
         (f.dataType == LongType || f.dataType == DoubleType))).toSet
     if (mAll.isEmpty) return (Array.empty, 0L, 0L)
     val evolved = columnSince.keySet
+    val declaredSet = tableSchema.fieldNames.drop(1).toSet
     val (fetch, readValues) = fetchOverride.getOrElse {
       def anchor: Option[String] = {
-        // candidates must be present in EVERY batch in view: declared
-        // (a DROPPED column's residue rows are absent from post-drop
-        // batches) and non-evolved — or evolved with every batch in
-        // view post-dating the watermark
-        val minBatch = mAll.iterator.map(r => batchFromPath(r.getString(0))).minOption
-        val ok = everyBatchCols(tableSchema, columnSince, minBatch).toSet
+        // the anchor must be live in EVERY instance in view that holds
+        // declared rows — instance-exact over the collected rows (this
+        // path's mAll is the full micro-batch view), so residue rows of
+        // undeclared dropped columns neither anchor nor veto, and a
+        // column physically absent from a per-column-rewrite batch is
+        // never admitted by watermark arithmetic
+        val byInst = mAll.filter(r => declaredSet.contains(r.getString(1)))
+          .groupBy(r => (r.getLong(2), batchFromPath(r.getString(0))))
+        val ok =
+          if (byInst.isEmpty) Set.empty[String]
+          else byInst.valuesIterator
+            .map(_.iterator.map(_.getString(1)).toSet).reduce(_ intersect _)
         val rows = mAll.filter(r => ok.contains(r.getString(1)))
         if (rows.isEmpty) None
         else Some(rows.groupBy(_.getString(1)).view
@@ -1138,7 +1144,6 @@ private[sources] object FsstScan {
     // plan-level guard lives in computePlanInner. Residue-only
     // instances of undeclared columns are legitimately invisible.
     val fetchSet = fetch.toSet
-    val declaredSet = tableSchema.fieldNames.drop(1).toSet
     def lostInstance: Boolean = fetchOverride.isEmpty &&
       mAll.filter(r => declaredSet.contains(r.getString(1)))
         .groupBy(r => (r.getLong(2), batchFromPath(r.getString(0))))
@@ -1146,8 +1151,9 @@ private[sources] object FsstScan {
     if ((fetch.isEmpty && mAll.exists(r => declaredSet.contains(r.getString(1)))) ||
         lostInstance)
       throw new IllegalStateException(
-        s"table '$table': no fetchable column is present in every batch in view — " +
-          "cannot anchor this scan; compact the table onto one schema generation")
+        s"table '$table': no fetchable column is live in every chunk instance " +
+          "in view — cannot anchor this scan; rewrite the table onto one schema " +
+          "generation (full-table UPDATE or INSERT OVERWRITE)")
     if (fetch.isEmpty) return (Array.empty, 0L, 0L)
     val needed = (fetch ++ statCols).distinct.toSet
     val m = mAll.filter(r => needed.contains(r.getString(1)))

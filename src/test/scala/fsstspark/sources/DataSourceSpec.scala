@@ -1159,21 +1159,34 @@ class DataSourceSpec extends AnyFunSuite {
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c BIGINT")
     }.getMessage.contains("never dropped"))
-    // interrupted-purge recovery: a DROPPED name (ledger entry) whose
-    // residue survived a crash between the schema write and the purge —
-    // fabricated via a typed single-column append — IS purged by the
-    // re-ADD before declaring, so the stray 9 can never surface
+    // typed-path data appended AFTER a COMPLETED drop is new data, not
+    // interrupted-purge residue (its batch sorts after the drop's
+    // ledger watermark) — re-ADD refuses rather than destroys it
     spark.sql(s"ALTER TABLE $cat.t ADD COLUMN e BIGINT")
     spark.sql(s"ALTER TABLE $cat.t DROP COLUMN e")
     val typedE = EncodePipeline.encodeColumnsLocal(
       Seq(("rk2", 9L)).toDF("k", "e"), col("k"),
       Seq(ColSpec("e", col("e"), isLong = true)), 64L << 10)
     io.writeChunks(typedE, "t")
-    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN e BIGINT")
-    assert(spark.sql(s"SELECT count(e) AS n FROM $cat.t").collect()(0).getLong(0) == 0)
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN e BIGINT")
+    }.getMessage.contains("appended AFTER it was dropped"))
+    // interrupted-purge recovery: replay DROP's exact crash window for
+    // column f — ledger + schema written, purge never ran (f's live
+    // rows predate the ledger watermark) — the re-ADD purges the
+    // residue before declaring, so the stray 555 can never surface
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN f BIGINT")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k5', 5, 55, 555)")
+    val preDrop = FsstCatalog.readDeclaredSchema(spark, root, "t").get
+    FsstCatalog.writeDroppedLedger(spark, root, "t",
+      FsstCatalog.readDroppedLedger(spark, root, "t") + ("f" -> io.newWatermark(spark, "t")))
+    FsstCatalog.writeDeclaredSchema(spark, root, "t",
+      org.apache.spark.sql.types.StructType(preDrop.fields.filterNot(_.name == "f")))
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN f BIGINT")
+    assert(spark.sql(s"SELECT count(f) AS n FROM $cat.t").collect()(0).getLong(0) == 0)
     assert(io.manifestOpt(spark, "t", None)
-      .filter(col("column") === "e").isEmpty, "re-ADD must purge ledgered residue")
-    // guards: the key, a missing column, and the last every-batch column
+      .filter(col("column") === "f").isEmpty, "re-ADD must purge ledgered residue")
+    // guards: the key, a missing column, and the last covering column
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN key")
     }.getMessage.contains("key"))
@@ -1182,11 +1195,57 @@ class DataSourceSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN nope")
     }.getMessage.contains("cannot be resolved"))
     assert(intercept[Exception] {
-      // b and e (evolved — their watermarks postdate the live batches
-      // whose rows only a covers) would be the only value columns left:
-      // purging a would make those rows vanish — refused
+      // b and f (absent from the early batches whose live rows only a
+      // covers) would be the only value columns left: purging a would
+      // make those rows vanish — refused
       spark.sql(s"ALTER TABLE $cat.t DROP COLUMN a")
-    }.getMessage.contains("compact the table first"))
+    }.getMessage.contains("rewrite the table onto one schema generation"))
+  }
+
+  test("per-column compaction cannot fake an anchor: scans and DROP refuse, never lose rows") {
+    val root = freshRoot()
+    val cat = s"fsst_cov_${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "fsstspark.sources.FsstCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (key STRING, a BIGINT) USING fsst")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k1', 1), ('k2', 2)")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN b BIGINT")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('k3', 3, 30)")
+    assert(spark.table(s"$cat.t").count() == 3)
+    // compact column a ONLY: all of a's rows move to one fresh batch
+    // that carries nothing else. b's ADD watermark now predates every
+    // live batch — the watermark arithmetic this guards against would
+    // admit b as an anchor — but b is physically absent from the
+    // rewrite batch, so anchoring on it loses k1/k2 (their rows live
+    // solely as a-chunks there) and dropping a vanishes them entirely
+    val io = new ParquetTableIO(root)
+    val res = fsstspark.pipeline.Compaction.compactColumn(
+      spark, io, "t", "a", minChunkBytes = 1L << 40)
+    assert(res.chunksCompacted >= 2, s"fixture must rewrite a's chunks, got $res")
+    // single-column reads stay exact: a lives wholly in the rewrite
+    // batch (count()/count(*) would plan an empty projection, which
+    // needs an anchor and refuses below — so read the values)
+    val keyA = spark.table(s"$cat.t").select("key", "a").collect()
+    assert(keyA.length == 3 && keyA.map(_.getLong(1)).sum == 6)
+    // no column covers every live instance now: count, key-only, and
+    // all-evolved scans refuse loudly instead of silently undercounting
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT count(*) AS n FROM $cat.t").collect()
+    }.getMessage.contains("rewrite the table onto one schema generation"))
+    assert(intercept[Exception] {
+      spark.table(s"$cat.t").select("b").collect()
+    }.getMessage.contains("rewrite the table onto one schema generation"))
+    // a multi-column zip across mismatched instances is impossible —
+    // the per-instance completeness check stays loud
+    assert(intercept[Exception] {
+      spark.table(s"$cat.t").select("a", "b").collect()
+    }.getMessage.contains("expected exactly one manifest row"))
+    // DROP a would purge the rewrite batch — k1/k2 have no other live
+    // column, so their rows would vanish; refused (the watermark proxy
+    // allowed exactly this)
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN a")
+    }.getMessage.contains("rewrite the table onto one schema generation"))
   }
 
   test("a torn sidecar swap recovers from the complete tmp; a torn tmp write reads as absent") {
