@@ -259,20 +259,24 @@ final class FsstCatalog extends TableCatalog {
         if (io.tableExists(spark, ident.name)) {
           val mx = io.manifestOpt(spark, ident.name, None)
             .filter(org.apache.spark.sql.functions.col("column") === colName)
-            .agg(org.apache.spark.sql.functions.max(
-              org.apache.spark.sql.functions.regexp_extract(
-                org.apache.spark.sql.functions.col("file"), "batch=([^/]*)", 1)))
+            .agg(org.apache.spark.sql.functions.max(FsstScan.batchFromFileCol))
             .head()
           if (!mx.isNullAt(0)) {
             require(ledger.contains(colName),
               s"column '$colName' has live data written outside the declared schema " +
                 "(typed-path append) and was never dropped — ADD will not purge it; " +
                 "use a different name, or remove the data via the typed API first")
-            require(mx.getString(0) < ledger(colName),
-              s"column '$colName' has live data appended AFTER it was dropped " +
-                s"(batch ${mx.getString(0)} >= drop watermark ${ledger(colName)}) — " +
-                "that is new typed-path data, not interrupted-drop residue; ADD will " +
-                "not purge it; remove it via the typed API first")
+            // the ledger cut is the column's newest COMMITTED live batch
+            // at drop time — every later mint sorts after it in any
+            // process (mintBatchId seeds from committed ids), so the
+            // comparison is restart- and clock-skew-safe where a
+            // free-floating minted watermark would not be
+            require(mx.getString(0) <= ledger(colName),
+              s"column '$colName' has live data from after the drop " +
+                s"(batch ${mx.getString(0)} > drop cut ${ledger(colName)}) — " +
+                "appended or rewritten (e.g. compacted) since, so it is not " +
+                "attributable interrupted-drop residue; ADD will not purge it; " +
+                "remove it via the typed API first")
             purgeResidue(spark, io, ident.name, Set(colName))
           }
         }
@@ -307,9 +311,10 @@ final class FsstCatalog extends TableCatalog {
               io.manifestOpt(spark, ident.name, None),
               remaining.iterator.drop(1).map(_.name).toSeq,
               schema.fields.iterator.drop(1).map(_.name).toSeq).nonEmpty,
-            s"cannot drop '$colName': live chunk instances would remain whose rows " +
-              "no remaining value column covers — rewrite the table onto one schema " +
-              "generation first (full-table UPDATE or INSERT OVERWRITE)")
+            s"cannot drop '$colName': no single remaining value column covers every " +
+              "live chunk instance — the purge could vanish uncovered rows, and " +
+              "key-only/count scans would lose their anchor; rewrite the table onto " +
+              "one schema generation first (full-table UPDATE or INSERT OVERWRITE)")
           schema = StructType(remaining)
           // the ADD watermark entry is RETAINED (it is inert once the
           // column leaves the schema): removing it would give a
@@ -332,12 +337,21 @@ final class FsstCatalog extends TableCatalog {
     // later re-ADD would refuse as typed-path data instead of purging.
     FsstCatalog.writeColumnSince(spark, root, ident.name, since)
     if (purge.nonEmpty) {
-      // one minted watermark per ALTER: the drop's cut line — residue
-      // batches sort before it, data appended after a completed drop
-      // sorts after (which is how a later re-ADD tells them apart)
-      val cut = io.newWatermark(spark, ident.name)
+      // the cut line per dropped column: its newest COMMITTED live
+      // batch right now (residue ⊆ batches ≤ cut; any later append in
+      // any process mints above it — mintBatchId seeds from committed
+      // ids, so unlike a minted-but-never-committed watermark the cut
+      // survives restarts and clock skew). "-" = nothing was live:
+      // sorts below every real id, so ANY later data refuses.
+      val maxLive: Map[String, String] =
+        if (!io.tableExists(spark, ident.name)) Map.empty
+        else io.manifestOpt(spark, ident.name, None)
+          .filter(org.apache.spark.sql.functions.col("column").isin(purge.toSeq: _*))
+          .groupBy(org.apache.spark.sql.functions.col("column"))
+          .agg(org.apache.spark.sql.functions.max(FsstScan.batchFromFileCol).as("mx"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       FsstCatalog.writeDroppedLedger(spark, root, ident.name,
-        ledger ++ purge.iterator.map(_ -> cut))
+        ledger ++ purge.iterator.map(c => c -> maxLive.getOrElse(c, "-")))
     }
     FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
     // LAST: purge dropped columns' data as batch-gated tombstones — a
@@ -605,12 +619,15 @@ object FsstCatalog {
       since: Map[String, String]): Unit =
     writeTsvSidecar(spark, sincePath(root, table), since)
 
-  /** Names DROP COLUMN has ever dropped (value = the drop's mint-order
-    * watermark — the cut line a re-ADD uses to tell interrupted-purge
-    * residue, whose batches sort BEFORE it, from typed-path data
-    * appended AFTER the drop completed, which must not be purged):
-    * `<root>/<table>/_dropped.tsv`. Entries are retained forever —
-    * inert for any declared or absent column.
+  /** Names DROP COLUMN has ever dropped (value = the cut line: the
+    * column's newest COMMITTED live batch at drop time, or "-" when
+    * none was live). A re-ADD purges live rows only when every live
+    * batch sorts at-or-before the cut (interrupted-purge residue) and
+    * refuses anything newer — typed-path data appended after the drop,
+    * or residue a compaction rewrote past the cut (safe but
+    * unrecoverable automatically). `<root>/<table>/_dropped.tsv`.
+    * Entries are retained forever — inert for any declared or absent
+    * column.
     */
   private def droppedPath(root: String, table: String) =
     new org.apache.hadoop.fs.Path(s"$root/$table/_dropped.tsv")

@@ -562,13 +562,17 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   private def manifestDf(spark: SparkSession, io: ParquetTableIO) =
     io.manifestOpt(spark, table, asOf)
 
-  /** Anchor-eligible columns (live in EVERY live chunk instance) —
-    * memoized: aggRow and every planning pass share one aggregate.
+  /** Anchor-eligible columns over ONE manifest snapshot. Admission and
+    * the read that rides it must see the SAME view: `manifestOpt` pins
+    * its committed-batch set at call time, so a per-column compaction
+    * committing between an admission call and a fold over a SECOND
+    * manifestOpt call could silently shift the anchor's row set under
+    * the fold. aggRow and computePlanInner therefore derive both from
+    * one DataFrame (no cross-call memoization by design).
     */
-  private lazy val everyInstanceColsV: Seq[String] = {
+  private def anchorColsOn(m: org.apache.spark.sql.DataFrame): Seq[String] = {
     val declared = tableSchema.fieldNames.drop(1).toSeq
-    FsstScan.everyInstanceCols(
-      manifestDf(SparkSession.active, new ParquetTableIO(root)), declared, declared)
+    FsstScan.everyInstanceCols(m, declared, declared)
   }
 
   // ------------------------------------------ runtime group filtering
@@ -638,12 +642,18 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
     val spark = SparkSession.active
     val io = new ParquetTableIO(root)
+    // ONE pinned snapshot for BOTH the anchor admission and the fold —
+    // a compaction committing between two manifestOpt calls could
+    // otherwise invalidate the anchor under the fold silently
+    val mdf = manifestDf(spark, io)
     // COUNT/key-bound folds ride a column present in EVERY live chunk
-    // instance (aggSpecs refuses the pushdown when none exists)
-    val anchor = everyInstanceColsV
+    // instance (aggSpecs refused the pushdown when none existed at
+    // probe time; a concurrent rewrite since then surfaces here loudly)
+    val anchor = anchorColsOn(mdf)
       .headOption.getOrElse(throw new IllegalStateException(
         s"table '$table': aggregate fold with no every-instance anchor column — " +
-          "aggSpecs must refuse this state"))
+          "refused at probe time, or the layout changed under the fold " +
+          "(concurrent per-column rewrite); retry the query"))
     val aggExprs = specs.zipWithIndex.map {
       case (CountStarSpec, i) =>
         coalesce(sum(when(col("column") === anchor, col("n_rows"))), lit(0L)).as(s"a$i")
@@ -654,7 +664,7 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
         (if (isMin) min(when(col("column") === c, col("value_min")))
          else max(when(col("column") === c, col("value_max")))).as(s"a$i")
     }
-    val row = manifestDf(spark, io).agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*).head()
+    val row = mdf.agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*).head()
     specs.zipWithIndex.map {
       case (CountStarSpec, i) => java.lang.Long.valueOf(row.getLong(i))
       case (MinMaxSpec("key", _, _), i) =>
@@ -772,15 +782,19 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     // (barely-selective probe) stays driver-side — the collected rows are
     // filtered by set membership below, so victims are exact either way
     // and a giant In expression never reaches the parquet reader
+    // ONE manifestOpt snapshot per plan: anchor admission and the plan
+    // collect must see the same committed-batch set (a compaction
+    // committing between two separate snapshots could admit an anchor
+    // the collect's view no longer covers)
+    val mdf = manifestDf(spark, io)
     val m = runtimeChunkIds.filter(_.size <= FsstScan.RuntimeIdPushdownLimit)
-      .fold(manifestDf(spark, io))(ids =>
-        manifestDf(spark, io)
-          .filter(org.apache.spark.sql.functions.col("chunk_id").isInCollection(ids)))
+      .fold(mdf)(ids =>
+        mdf.filter(org.apache.spark.sql.functions.col("chunk_id").isInCollection(ids)))
     // a counting/anchor column must be live in EVERY live chunk
     // instance — instance-exact, not watermark arithmetic (per-column
     // rewrites break the proxy; see [[FsstScan.everyInstanceCols]]).
     // lazy: a plain value projection never runs the coverage aggregate
-    lazy val anchorCols = everyInstanceColsV
+    lazy val anchorCols = anchorColsOn(mdf)
     if (valueFields.isEmpty && statCols.isEmpty && !stored.fieldNames.contains("key") &&
         anchorCols.nonEmpty) {
       // empty projection, no value filters: count rows straight off the
@@ -1040,10 +1054,13 @@ private[sources] object FsstScan {
     */
   def everyInstanceCols(m: org.apache.spark.sql.DataFrame,
       candidates: Seq[String], universe: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, countDistinct, regexp_extract, struct, when}
+    import org.apache.spark.sql.functions.{col, countDistinct, struct, when}
     if (candidates.isEmpty || universe.isEmpty) return Seq.empty
-    val inst = struct(col("chunk_id"),
-      regexp_extract(col("file"), "batch=([^/]*)", 1))
+    // a lone candidate that IS the universe trivially covers every
+    // instance the universe defines — no job (the common single-column
+    // table never pays the aggregate)
+    if (candidates.sizeIs == 1 && universe == candidates) return candidates
+    val inst = struct(col("chunk_id"), batchFromFileCol)
     val aggs = countDistinct(inst).as("total") +:
       candidates.zipWithIndex.map { case (c, i) =>
         countDistinct(when(col("column") === c, inst)).as(s"c$i") }
@@ -1076,6 +1093,15 @@ private[sources] object FsstScan {
       if (end < 0) file.substring(i + 6) else file.substring(i + 6, end)
     }
   }
+
+  /** [[batchFromPath]] as a Catalyst column over the manifest's `file` —
+    * the ONE Catalyst-side spelling of the parse, so driver-side and
+    * in-plan instance identity can never drift (no-match yields "",
+    * matching batchFromPath's repaired/foreign-layout fallback).
+    */
+  def batchFromFileCol: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_extract(
+      org.apache.spark.sql.functions.col("file"), "batch=([^/]*)", 1)
 
   /** Shared planning tail of the batch scan and the micro-batch stream:
     * prune + group manifest rows (positional schema `file, column,

@@ -1170,16 +1170,19 @@ class DataSourceSpec extends AnyFunSuite {
     io.writeChunks(typedE, "t")
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t ADD COLUMN e BIGINT")
-    }.getMessage.contains("appended AFTER it was dropped"))
+    }.getMessage.contains("from after the drop"))
     // interrupted-purge recovery: replay DROP's exact crash window for
-    // column f — ledger + schema written, purge never ran (f's live
-    // rows predate the ledger watermark) — the re-ADD purges the
-    // residue before declaring, so the stray 555 can never surface
+    // column f — ledger + schema written, purge never ran (the ledger
+    // cut is f's max committed live batch, as DROP records it) — the
+    // re-ADD purges the residue before declaring, so the stray 555 can
+    // never surface
     spark.sql(s"ALTER TABLE $cat.t ADD COLUMN f BIGINT")
     spark.sql(s"INSERT INTO $cat.t VALUES ('k5', 5, 55, 555)")
     val preDrop = FsstCatalog.readDeclaredSchema(spark, root, "t").get
+    val fCut = io.manifestOpt(spark, "t", None).filter(col("column") === "f")
+      .agg(max(FsstScan.batchFromFileCol)).head().getString(0)
     FsstCatalog.writeDroppedLedger(spark, root, "t",
-      FsstCatalog.readDroppedLedger(spark, root, "t") + ("f" -> io.newWatermark(spark, "t")))
+      FsstCatalog.readDroppedLedger(spark, root, "t") + ("f" -> fCut))
     FsstCatalog.writeDeclaredSchema(spark, root, "t",
       org.apache.spark.sql.types.StructType(preDrop.fields.filterNot(_.name == "f")))
     spark.sql(s"ALTER TABLE $cat.t ADD COLUMN f BIGINT")
