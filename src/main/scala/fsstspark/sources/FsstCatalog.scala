@@ -257,11 +257,8 @@ final class FsstCatalog extends TableCatalog {
         // destroying that on a metadata DDL would be silent data loss —
         // refuse loudly.
         if (io.tableExists(spark, ident.name)) {
-          val mx = io.manifestOpt(spark, ident.name, None)
-            .filter(org.apache.spark.sql.functions.col("column") === colName)
-            .agg(org.apache.spark.sql.functions.max(FsstScan.batchFromFileCol))
-            .head()
-          if (!mx.isNullAt(0)) {
+          FsstCatalog.maxLiveBatch(spark, io, ident.name, Seq(colName))
+              .get(colName).foreach { mx =>
             require(ledger.contains(colName),
               s"column '$colName' has live data written outside the declared schema " +
                 "(typed-path append) and was never dropped — ADD will not purge it; " +
@@ -270,13 +267,16 @@ final class FsstCatalog extends TableCatalog {
             // at drop time — every later mint sorts after it in any
             // process (mintBatchId seeds from committed ids), so the
             // comparison is restart- and clock-skew-safe where a
-            // free-floating minted watermark would not be
-            require(mx.getString(0) <= ledger(colName),
-              s"column '$colName' has live data from after the drop " +
-                s"(batch ${mx.getString(0)} > drop cut ${ledger(colName)}) — " +
-                "appended or rewritten (e.g. compacted) since, so it is not " +
-                "attributable interrupted-drop residue; ADD will not purge it; " +
-                "remove it via the typed API first")
+            // free-floating minted watermark would not be. A batch that
+            // parses to "" (repaired/foreign layout) is UNATTRIBUTABLE
+            // and must refuse — "" would sort at-or-below every cut and
+            // silently classify as residue otherwise.
+            require(mx.nonEmpty && mx <= ledger(colName),
+              s"column '$colName' has live data not attributable to the interrupted " +
+                s"drop (batch '$mx' vs drop cut '${ledger(colName)}') — appended or " +
+                "rewritten (e.g. compacted) since the drop, or a foreign layout " +
+                "without batch= paths; ADD will not purge it; remove it via the " +
+                "typed API first")
             purgeResidue(spark, io, ident.name, Set(colName))
           }
         }
@@ -341,17 +341,13 @@ final class FsstCatalog extends TableCatalog {
       // batch right now (residue ⊆ batches ≤ cut; any later append in
       // any process mints above it — mintBatchId seeds from committed
       // ids, so unlike a minted-but-never-committed watermark the cut
-      // survives restarts and clock skew). "-" = nothing was live:
-      // sorts below every real id, so ANY later data refuses.
-      val maxLive: Map[String, String] =
-        if (!io.tableExists(spark, ident.name)) Map.empty
-        else io.manifestOpt(spark, ident.name, None)
-          .filter(org.apache.spark.sql.functions.col("column").isin(purge.toSeq: _*))
-          .groupBy(org.apache.spark.sql.functions.col("column"))
-          .agg(org.apache.spark.sql.functions.max(FsstScan.batchFromFileCol).as("mx"))
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // survives restarts and clock skew). "-" = nothing was live OR
+      // only unattributable ""-batch rows were (foreign layout): no
+      // later data can ever classify as residue.
+      val maxLive = FsstCatalog.maxLiveBatch(spark, io, ident.name, purge.toSeq)
       FsstCatalog.writeDroppedLedger(spark, root, ident.name,
-        ledger ++ purge.iterator.map(c => c -> maxLive.getOrElse(c, "-")))
+        ledger ++ purge.iterator.map(c =>
+          c -> maxLive.get(c).filter(_.nonEmpty).getOrElse("-")))
     }
     FsstCatalog.writeDeclaredSchema(spark, root, ident.name, schema)
     // LAST: purge dropped columns' data as batch-gated tombstones — a
@@ -631,6 +627,22 @@ object FsstCatalog {
     */
   private def droppedPath(root: String, table: String) =
     new org.apache.hadoop.fs.Path(s"$root/$table/_dropped.tsv")
+
+  /** Newest committed live batch per column, RAW — "" when a column's
+    * newest file path has no `batch=` segment (repaired/foreign layout,
+    * matching [[FsstScan.batchFromPath]]'s fallback). The ONE spelling
+    * of the cut-line quantity: DROP stores it in the ledger (mapping ""
+    * to the '-' sentinel) and re-ADD compares against it (refusing "").
+    * Columns with no live rows are absent from the result.
+    */
+  private[sources] def maxLiveBatch(spark: SparkSession, io: ParquetTableIO,
+      table: String, cols: Seq[String]): Map[String, String] =
+    if (!io.tableExists(spark, table)) Map.empty
+    else io.manifestOpt(spark, table, None)
+      .filter(org.apache.spark.sql.functions.col("column").isin(cols: _*))
+      .groupBy(org.apache.spark.sql.functions.col("column"))
+      .agg(org.apache.spark.sql.functions.max(FsstScan.batchFromFileCol).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
   def readDroppedLedger(spark: SparkSession, root: String, table: String): Map[String, String] =
     readSidecar(spark, droppedPath(root, table),

@@ -702,7 +702,14 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
   }
 
   private def computePlan(): (Array[ChunkGroupPartition], Long, Long) = {
-    val res = computePlanInner()
+    // ONE manifestOpt snapshot spans the whole planning pass — anchor
+    // admission, the plan collect, AND the duplicate-sibling victims
+    // guard below (a second snapshot could judge the guard against a
+    // committed set the plan never saw)
+    val spark = SparkSession.active
+    val io = new ParquetTableIO(root)
+    val mdf = manifestDf(spark, io)
+    val res = computePlanInner(spark, io, mdf)
     // record the planned victims for the row-level write's commit: every
     // (chunk_id, column) manifest row of every planned instance. Distinct
     // collapses duplicate-id instances across batches — ONE batch-gated
@@ -730,12 +737,10 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
       if (victims.nonEmpty && (filters.nonEmpty || runtimeChunkIds.isDefined)) {
         val plannedPerId: Map[Long, Int] = res._1.iterator.flatMap(_.chunkIds.iterator)
           .toArray.groupBy(identity).view.mapValues(_.length).toMap
-        val spark = SparkSession.active
-        val io = new ParquetTableIO(root)
         import spark.implicits._
         import org.apache.spark.sql.functions.col
         val plannedDf = plannedPerId.toSeq.toDF("chunk_id", "planned")
-        val bad = FsstScan.liveInstanceCounts(manifestDf(spark, io),
+        val bad = FsstScan.liveInstanceCounts(mdf,
             Some(plannedPerId.keys.toSeq))
           .join(plannedDf, "chunk_id")
           .filter(col("live") > col("planned"))
@@ -754,9 +759,8 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     res
   }
 
-  private def computePlanInner(): (Array[ChunkGroupPartition], Long, Long) = {
-    val spark = SparkSession.active
-    val io = new ParquetTableIO(root)
+  private def computePlanInner(spark: SparkSession, io: ParquetTableIO,
+      mdf: org.apache.spark.sql.DataFrame): (Array[ChunkGroupPartition], Long, Long) = {
     // an EMPTY runtime id set means the probe matched no groups at all —
     // nothing to read, nothing to rewrite
     if (runtimeChunkIds.exists(_.isEmpty)) return (Array.empty, 0L, 0L)
@@ -782,11 +786,8 @@ final class FsstScan(root: String, table: String, tableSchema: StructType,
     // (barely-selective probe) stays driver-side — the collected rows are
     // filtered by set membership below, so victims are exact either way
     // and a giant In expression never reaches the parquet reader
-    // ONE manifestOpt snapshot per plan: anchor admission and the plan
-    // collect must see the same committed-batch set (a compaction
-    // committing between two separate snapshots could admit an anchor
-    // the collect's view no longer covers)
-    val mdf = manifestDf(spark, io)
+    // `mdf` is the plan-wide manifestOpt snapshot (see computePlan):
+    // anchor admission and the plan collect see the same committed set
     val m = runtimeChunkIds.filter(_.size <= FsstScan.RuntimeIdPushdownLimit)
       .fold(mdf)(ids =>
         mdf.filter(org.apache.spark.sql.functions.col("chunk_id").isInCollection(ids)))

@@ -1170,7 +1170,7 @@ class DataSourceSpec extends AnyFunSuite {
     io.writeChunks(typedE, "t")
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t ADD COLUMN e BIGINT")
-    }.getMessage.contains("from after the drop"))
+    }.getMessage.contains("not attributable to the interrupted drop"))
     // interrupted-purge recovery: replay DROP's exact crash window for
     // column f — ledger + schema written, purge never ran (the ledger
     // cut is f's max committed live batch, as DROP records it) — the
@@ -1179,8 +1179,7 @@ class DataSourceSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.t ADD COLUMN f BIGINT")
     spark.sql(s"INSERT INTO $cat.t VALUES ('k5', 5, 55, 555)")
     val preDrop = FsstCatalog.readDeclaredSchema(spark, root, "t").get
-    val fCut = io.manifestOpt(spark, "t", None).filter(col("column") === "f")
-      .agg(max(FsstScan.batchFromFileCol)).head().getString(0)
+    val fCut = FsstCatalog.maxLiveBatch(spark, io, "t", Seq("f"))("f")
     FsstCatalog.writeDroppedLedger(spark, root, "t",
       FsstCatalog.readDroppedLedger(spark, root, "t") + ("f" -> fCut))
     FsstCatalog.writeDeclaredSchema(spark, root, "t",
