@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output passes through RAW instead of via sbt's
+// logger: graft.Bench/Verify print one machine-read JSON line, and the
+// logger's "[info] " prefix broke the harness's JSON parse every round
+// (BENCH_r0*.json all carry "parsed": null with the line only
+// recoverable from the log tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
