@@ -1210,7 +1210,12 @@ private[sources] object FsstScan {
         // batches predating its watermark — the reader null-pads it
         val absentOk = n == 0 && columnSince.get(c).exists(since => batch < since)
         require(n == 1 || absentOk, s"chunk $cid (batch $batch) of table '$table': " +
-          s"expected exactly one manifest row for column '$c', found $n")
+          s"expected exactly one manifest row for column '$c', found $n — the " +
+          "connector zips columns within one (chunk_id, batch) instance, so tables " +
+          "built by per-column appends or per-column rewrites (batches without a " +
+          "full column tuple) cannot serve this multi-column scan; read single " +
+          "columns via the typed API, or rewrite the table onto one schema " +
+          "generation (full-table UPDATE or INSERT OVERWRITE)")
       }
       val fileOf = perCol.view.mapValues(_.head.getString(0)).toMap
       val tuple = fetch.map(c => fileOf.getOrElse(c, ""))

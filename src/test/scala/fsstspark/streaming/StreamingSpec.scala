@@ -91,6 +91,19 @@ class StreamingSpec extends AnyFunSuite {
     val before = chunks.count()
     runOnce(s"$root/state2")
     assert(io.readChunks(spark, "pages").count() == before, "replay created duplicates")
+    // the streaming-built catalog is CONNECTOR-readable: single-column
+    // appends leave the one column live in every instance (the trivial
+    // anchor), so the SQL surface serves it — multi-column per-column-append
+    // tables are the documented refusal, not this flagship shape
+    val viaConnector = spark.read.format("fsst")
+      .option("root", s"$root/catalog").option("table", "pages")
+      .option("stringColumns", "text").load()
+      .select(col("key").as("url"), col("text").as("got_text"))
+    val srcRows = spark.read.parquet(src).select(col("url"), col("text"))
+    assert(viaConnector.count() == srcRows.count() &&
+      viaConnector.join(srcRows, "url")
+        .filter(col("got_text") =!= col("text")).isEmpty,
+      "connector read of the streaming catalog must match the source")
   }
 
   test("multimodal feature extraction is deterministic and batch-shaped") {
