@@ -117,6 +117,52 @@ object Bench {
     }
     require(bytesDecoded == bytesIn, s"decode byte count mismatch: $bytesDecoded != $bytesIn")
 
+    // Host-state control: single-thread kernel MB/s over a fixed
+    // deterministic text-like buffer, measured AFTER the headlines (JIT
+    // fully warm). The corpus is identical in every window, so the two
+    // fields compare directly ACROSS windows: a drop on unchanged code
+    // marks the window as degraded (shared-host memory bandwidth — see
+    // BASELINE.md "Host-state control"), letting each bench carry its
+    // own adjudication datum instead of relying on a separate run.
+    val (hostEncMbps, hostDecMbps) = {
+      import fsstspark.codec.fsst.{Fsst, FsstTrainer}
+      val rnd = new scala.util.Random(4637947L)
+      // ~4k pseudo-words, zipf-skewed: entropy in the real-text regime
+      // (ratio ~0.5), not a 12-word toy the table captures entirely
+      val letters = "etaoinshrdlucmfwypvbgkjqxz"
+      val vocab = Array.tabulate(4096) { _ =>
+        val len = 2 + rnd.nextInt(10)
+        val w = new Array[Char](len)
+        var i = 0
+        while (i < len) { w(i) = letters(rnd.nextInt(letters.length)); i += 1 }
+        new String(w)
+      }
+      val sb = new java.lang.StringBuilder(5 << 20)
+      while (sb.length < (4 << 20)) {
+        val r = rnd.nextDouble()
+        sb.append(vocab((r * r * r * vocab.length).toInt)).append(' ')
+      }
+      val data = sb.toString.getBytes("UTF-8")
+      val table = FsstTrainer.train(Array(data))
+      val enc = table.newEncoder()
+      val dec = table.newDecoder()
+      val encDst = new Array[Byte](Fsst.maxEncodedSize(data.length))
+      val decDst = new Array[Byte](data.length + 8)
+      var encLen = 0
+      var bestE = Double.MaxValue
+      var bestD = Double.MaxValue
+      for (_ <- 0 until 8) {
+        var t0 = System.nanoTime()
+        encLen = enc.encode(data, 0, data.length, encDst, 0)
+        bestE = math.min(bestE, (System.nanoTime() - t0) / 1e9)
+        t0 = System.nanoTime()
+        val decLen = dec.decode(encDst, 0, encLen, decDst, 0)
+        bestD = math.min(bestD, (System.nanoTime() - t0) / 1e9)
+        require(decLen == data.length, s"host-probe roundtrip: $decLen != ${data.length}")
+      }
+      (data.length / 1e6 / bestE, data.length / 1e6 / bestD)
+    }
+
     val encGbps = bytesLocal / 1e9 / results("pages_encode_local")
     val encShuffleGbps = bytesIn / 1e9 / results("pages_encode")
     val decGbps = bytesIn / 1e9 / results("pages_decode")
@@ -140,6 +186,7 @@ object Bench {
         s""""fixture_sec":$fixtures,""" +
         s""""cpus":$cpus,"pages":$nPages,"pages_bytes_in":$bytesIn,"pages_bytes_out":$bytesOut,""" +
         f""""pages_ratio":$ratio%.4f,"encode_gbps":$encGbps%.3f,"encode_shuffle_gbps":$encShuffleGbps%.3f,"decode_gbps":$decGbps%.3f,""" +
+        f""""host_kernel_enc_mbps":$hostEncMbps%.1f,"host_kernel_dec_mbps":$hostDecMbps%.1f,""" +
         s""""headline_reps":{"local_sec":${repArr(localReps)},"shuffle_sec":${repArr(shuffleReps)},"decode_sec":${repArr(decodeReps)}}}""")
     spark.stop()
   }
